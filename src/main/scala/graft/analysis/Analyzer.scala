@@ -1,0 +1,130 @@
+package graft.analysis
+
+import java.util.Locale
+
+/**
+ * Deterministic, pure-Scala text analysis (SURVEY.md §2.3).
+ *
+ * The analyzer is *the contract* of the engine: identical tokens ⇒ identical
+ * tf/df/docLen ⇒ identical scores. The reference builds Lucene
+ * `CustomAnalyzer` chains per tag (`/root/reference/src/main/java/edu/anadolu/
+ * analysis/Analyzers.java:85-245`); query and index side share the same
+ * analyzer (`Analyzers.java:58-74`).
+ *
+ * We re-implement two chains from public UAX#29 word-break semantics:
+ *
+ *  - [[Tag.NoStem]]  — standard word-break + lowercase
+ *                      (`Analyzers.java:89-93`)
+ *  - [[Tag.NoStemPossessive]] — NoStem + english-possessive strip, the
+ *                      non-stemming prefix of the reference's default KStem
+ *                      chain (`Analyzers.java:95-101`); full KStem is a
+ *                      dictionary stemmer and deliberately out of scope
+ *                      (SURVEY.md §7.7).
+ *
+ * Word-break approximation of UAX#29 as implemented by Lucene's standard
+ * tokenizer: tokens are maximal runs of Unicode letters/digits, where a
+ * single mid-token character is retained when flanked by alphanumerics:
+ * `'` / `’` / `.` between letters-or-digits (MidNumLet / Single_Quote),
+ * `,` / `:` between digits (MidNum). Everything else breaks.
+ */
+object Analyzer {
+
+  sealed trait Tag { def name: String }
+  object Tag {
+    case object NoStem extends Tag { val name = "NoStem" }
+    case object NoStemPossessive extends Tag { val name = "NoStemPossessive" }
+    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive)
+    def of(name: String): Tag = all.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(s"unknown analyzer tag: $name"))
+  }
+
+  private def isWordChar(cp: Int): Boolean =
+    Character.isLetterOrDigit(cp)
+
+  private def isMidLetter(cp: Int): Boolean =
+    cp == '\'' || cp == 0x2019 /* ’ */ || cp == '.'
+
+  private def isMidNum(cp: Int): Boolean =
+    cp == ',' || cp == ':' || cp == '.'
+
+  /** Tokenize without any filtering: maximal alphanumeric runs with retained
+   * mid-token punctuation. Deterministic, null-safe (null → empty). */
+  def tokenize(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val out = Vector.newBuilder[String]
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (isWordChar(cp)) {
+        sb.appendCodePoint(cp)
+        i += w
+      } else if (sb.length() > 0 && i + w < n) {
+        // candidate mid-token char: look at the next code point
+        val next = text.codePointAt(i + w)
+        val prevDigit = Character.isDigit(text.codePointBefore(i))
+        val keep =
+          if (Character.isLetterOrDigit(next)) {
+            if (prevDigit && Character.isDigit(next)) isMidNum(cp) || isMidLetter(cp)
+            else isMidLetter(cp)
+          } else false
+        if (keep) { sb.appendCodePoint(cp); i += w }
+        else { out += sb.toString; sb.setLength(0); i += w }
+      } else {
+        if (sb.length() > 0) { out += sb.toString; sb.setLength(0) }
+        i += w
+      }
+    }
+    if (sb.length() > 0) out += sb.toString
+    out.result()
+  }
+
+  /** Strip English possessive suffix `'s` / `’s` (reference chain component
+   * `englishpossessive`, `Analyzers.java:95-101`). */
+  def stripPossessive(token: String): String = {
+    val n = token.length
+    if (n >= 2 && (token.charAt(n - 2) == '\'' || token.charAt(n - 2) == 0x2019)
+        && (token.charAt(n - 1) == 's' || token.charAt(n - 1) == 'S'))
+      token.substring(0, n - 2)
+    else token
+  }
+
+  /** Full analysis chain for a tag: tokenize → lowercase → (possessive). */
+  def analyze(text: String, tag: Tag = Tag.NoStem): Seq[String] = {
+    val base = tokenize(text).map(_.toLowerCase(Locale.ROOT))
+    tag match {
+      case Tag.NoStem           => base
+      case Tag.NoStemPossessive => base.map(stripPossessive).filter(_.nonEmpty)
+    }
+  }
+
+  /**
+   * Lucene query-syntax escape, ported verbatim from the reference
+   * (`/root/reference/src/main/java/org/clueweb09/tracks/MQ09.java:24-37`):
+   * syntax characters are replaced by a single space, then whitespace is
+   * collapsed. Our engine has no query syntax, but topic files round-trip
+   * through this, so it is part of query semantics.
+   */
+  def escapeQuerySyntax(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' || c == '+' || c == '-' || c == '!' || c == '(' || c == ')' ||
+          c == ':' || c == '^' || c == '[' || c == ']' || c == '"' || c == '{' ||
+          c == '}' || c == '~' || c == '*' || c == '?' || c == '|' || c == '&' || c == '/')
+        sb.append(' ')
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString.trim.replaceAll("\\s+", " ")
+  }
+
+  /** Analyzed query terms with multiplicity preserved — duplicate query terms
+   * contribute their score once per occurrence (OR-sum of SHOULD clauses,
+   * `ModelBase.java:209-225`). */
+  def analyzeQuery(query: String, tag: Tag = Tag.NoStem): Seq[String] =
+    analyze(escapeQuerySyntax(query), tag)
+}

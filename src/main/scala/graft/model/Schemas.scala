@@ -1,0 +1,70 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/**
+ * Core data model of the engine (SURVEY.md §1).
+ *
+ * The corpus unit is a transcript *turn* (reference analog: a WARC document,
+ * `/root/reference/src/main/java/edu/anadolu/Indexer.java:101-130`). The stable
+ * document identity is `conv_id + "#" + turn_idx` — the "stable turn ordering"
+ * invariant from BASELINE.json's input hint.
+ */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String, // nullable
+    ts: Timestamp)
+
+/** One tokenized (doc, term) pair with its in-document frequency.
+ * Reference analog: a Lucene posting (docID, tf) — DOCS_AND_FREQS only,
+ * no positions (`Indexer.java:66-79`). */
+final case class TermDoc(term: String, docId: String, tf: Long)
+
+/** Per-document length = analyzed token count. Reference stores this as the
+ * norm: `state.getLength() - state.getNumOverlap()`
+ * (`org/apache/lucene/search/similarities/ModelBase.java:253-256`); our
+ * analyzer chains emit no overlapping tokens so docLen == token count. */
+final case class DocLen(docId: String, docLen: Long)
+
+/** Dictionary entry: per-term document frequency (df) and collection
+ * frequency (cf / totalTermFreq). Reference analog:
+ * `ModelBase.fillBasicStats` (`ModelBase.java:70-100`). */
+final case class DictEntry(term: String, termId: Long, df: Long, cf: Long)
+
+/** One-row corpus statistics: N = docCount, C = sumTotalTermFreq.
+ * avgdl is always derived as C/N (`ModelBase.java:117`). */
+final case class CorpusStats(numDocs: Long, numTokens: Long) {
+  def avgDocLen: Double = numTokens.toDouble / numDocs.toDouble
+}
+
+/** A topic / information need (reference: `org/clueweb09/InfoNeed.java:13-50`). */
+final case class Topic(qid: Int, query: String)
+
+/** A relevance judgement (reference: `tracks/Track.java:102-113`). */
+final case class Qrel(qid: Int, docId: String, judge: Int)
+
+/** One TREC run row: `qid Q0 docID rank score runTag`
+ * (reference: `Searcher.java:204-226`). */
+final case class RunRow(qid: Int, docId: String, rank: Int, score: Float, tag: String)
+
+/**
+ * One compressed posting block (SURVEY.md §7.2). Postings of a term are split
+ * into fixed-size blocks of (docId, tf) pairs sorted by docId; docIds are
+ * delta+varint encoded, tfs varint encoded. Block-max metadata (`maxTf`,
+ * `minDocLen`) yields an upper bound on any score inside the block — the
+ * skip condition of Block-Max WAND. Reference analog: Lucene skip lists +
+ * block postings (invoked at `Searcher.java:182`), made explicit here.
+ */
+final case class PostingBlock(
+    termId: Long,
+    blockNo: Int,
+    n: Int,            // number of postings in this block
+    minDoc: Long,      // first (numeric) docId in block
+    maxDoc: Long,      // last (numeric) docId in block
+    maxTf: Long,       // max term frequency within block
+    minDocLen: Long,   // min docLen within block (tightens the BM25 upper bound)
+    docBytes: Array[Byte],
+    tfBytes: Array[Byte])
