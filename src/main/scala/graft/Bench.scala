@@ -1,24 +1,80 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.data.Transcripts
+import graft.driver.DriverQueries
+import graft.index.IndexBuild
+import graft.model.Topic
+import graft.query.{BlockMaxWand, Exact, Scoring}
+
+/**
+ * Headline benchmark (BASELINE.md protocol). One JSON line:
+ *  - per driver-query wall seconds (the correctness-gate workload),
+ *  - index-build throughput in turns/sec over a synthetic transcript corpus
+ *    (size via SPARK_GRAFT_BENCH_TURNS, default 200k),
+ *  - BM25(0.9, 0.4) top-k latency p50/p95 over repeated topic-set runs,
+ *    exact path and Block-Max WAND separately.
+ */
 object Bench {
+
+  private def pct(sorted: Array[Double], p: Double): Double =
+    if (sorted.isEmpty) 0 else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val benchTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "200000").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time[A](f: => A): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // 1. driver-query workload
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // 2. index-build throughput (turns/sec) over synthetic transcripts
+    val turns = Transcripts.generate(spark, benchTurns / 8, 8)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
+    val buildSec = time(IndexBuild.build(turns, idxDir, docsPerShard = math.max(benchTurns / (cpus.toInt * 4), 1000)))
+    val turnsPerSec = benchTurns / buildSec
+
+    // 3. query latency p50/p95 on the built index (per topic-set run)
+    val index = IndexBuild.load(spark, idxDir)
+    val topics = Seq(
+      Topic(1, "w0 w3"), Topic(2, "needle0 needle7"), Topic(3, "w1 w2 w5"),
+      Topic(4, "w10 w100 w500 w1500"), Topic(5, "w0 needle3 w42"), Topic(6, "w7"))
+    val model = Scoring.BM25c(0.9, 0.4)
+    val termDocs = index.termDocs.cache()
+    termDocs.count()
+    val reps = 7
+    val exactLat = Array.fill(reps)(time {
+      Exact.search(termDocs, index.dict, index.stats, topics, model, 1000).count()
+    }).sorted
+    val bmwLat = Array.fill(reps)(time {
+      BlockMaxWand.search(index, topics, model, 1000).count()
+    }).sorted
+    termDocs.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ > 0).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s""""index_build":{"turns":$benchTurns,"sec":$buildSec,"turns_per_sec":$turnsPerSec},""" +
+      s""""bm25_topk_sec":{"exact_p50":${pct(exactLat, 0.5)},"exact_p95":${pct(exactLat, 0.95)},""" +
+      s""""bmw_p50":${pct(bmwLat, 0.5)},"bmw_p95":${pct(bmwLat, 0.95)},"k":1000,"topics":${topics.size}},""" +
+      s""""cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
 import graft.data.Transcripts
-import graft.index.{Dictionary, Tokenize}
+import graft.index.{Dictionary, IndexBuild, Tokenize}
 import graft.model.Topic
-import graft.query.{Exact, Scoring}
+import graft.query.{BlockMaxWand, Exact, Scoring}
 
 /**
  * Driver-facing correctness queries (SparkEntry.queries) with DuckDB oracle
@@ -50,6 +50,16 @@ object DriverQueries {
 
   def docs(spark: SparkSession, dir: String): DataFrame =
     Tokenize.docs(Transcripts.fromDocuments(spark, dir))
+
+  /** Compressed block index over the documents corpus, built once per JVM
+   * per sfDir (fresh — no reuse across runs, the format may evolve). */
+  private val indexCache = scala.collection.mutable.Map.empty[String, IndexBuild.Index]
+  def index(spark: SparkSession, dir: String): IndexBuild.Index = synchronized {
+    indexCache.getOrElseUpdate(dir, {
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-docidx").toString
+      IndexBuild.build(Transcripts.fromDocuments(spark, dir), idxDir, docsPerShard = 256)
+    })
+  }
 
   // ---- shared DuckDB CTEs ----
   private val CTES =
@@ -196,6 +206,14 @@ object DriverQueries {
 
     Spec("r1_bm25_topk",
       (s, d) => bm25TopkSpark(s, d, conjunctive = false),
+      Some(bm25TopkSql(conjunctive = false))),
+
+    // Same oracle as r1 — the Block-Max WAND path over the compressed
+    // sharded index must independently reproduce the DuckDB ranking.
+    Spec("r1c_bmw_topk",
+      (s, d) => BlockMaxWand.search(index(s, d), topics, Scoring.BM25c(0.9, 0.4), K,
+          sentinelDocId = Some(SENTINEL), roundedDouble = Some(4))
+        .withColumnRenamed("docId", "docid"),
       Some(bm25TopkSql(conjunctive = false))),
 
     Spec("r2_bm25_and_topk",

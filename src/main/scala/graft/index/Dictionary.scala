@@ -29,30 +29,7 @@ object Dictionary {
    * sorted term range), count per partition, broadcast the prefix offsets,
    * then number within partitions. Two jobs, fully parallel, deterministic.
    */
-  def withIds(termStats: DataFrame): DataFrame = {
-    val spark = termStats.sparkSession
-    import spark.implicits._
-
-    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val ranged = termStats
-      .repartitionByRange(parts, col("term"))
-      .sortWithinPartitions("term")
-      .select("term", "df", "cf")
-      .as[(String, Long, Long)]
-
-    val counts = ranged.rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.size)), preservesPartitioning = true)
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val bc = spark.sparkContext.broadcast(offsets)
-
-    ranged.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var i = bc.value(pid)
-      it.map { case (term, df, cf) =>
-        val id = i; i += 1
-        (term, id, df, cf)
-      }
-    }.toDF("term", "termId", "df", "cf")
-  }
+  def withIds(termStats: DataFrame): DataFrame =
+    DenseIds.assign(termStats.select("term", "df", "cf"), "termId", col("term"))
+      .select("term", "termId", "df", "cf")
 }

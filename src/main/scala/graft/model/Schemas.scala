@@ -59,12 +59,18 @@ final case class RunRow(qid: Int, docId: String, rank: Int, score: Float, tag: S
  * block postings (invoked at `Searcher.java:182`), made explicit here.
  */
 final case class PostingBlock(
+    shard: Int,        // document shard (docIdNum range) this block belongs to
     termId: Long,
-    blockNo: Int,
+    blockNo: Int,      // ordinal within (shard, termId), ascending docId ranges
     n: Int,            // number of postings in this block
     minDoc: Long,      // first (numeric) docId in block
     maxDoc: Long,      // last (numeric) docId in block
     maxTf: Long,       // max term frequency within block
     minDocLen: Long,   // min docLen within block (tightens the BM25 upper bound)
-    docBytes: Array[Byte],
-    tfBytes: Array[Byte])
+    docBytes: Array[Byte],  // delta+varint docIdNums
+    tfBytes: Array[Byte],   // varint (tf-1)
+    dlBytes: Array[Byte])   // varint (docLen-1), denormalized norms
+
+/** Per-document identity map: stable string key ↔ dense numeric id whose
+ * ascending order equals the docId string order (tie-break invariant). */
+final case class DocEntry(docId: String, docIdNum: Long, docLen: Long)

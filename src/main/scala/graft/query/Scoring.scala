@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
  */
 object Scoring {
 
-  val LN2: Double = math.log(2.0)
+  // Scalar math mirrors Catalyst codegen, which emits java.lang.StrictMath
+  // for log/pow — Math.log differs from StrictMath.log by 1 ulp on some
+  // inputs, which would break the BMW ≡ exact-path bit-identity invariant.
+  // (The reference uses Math.log; divergence is ≤1 ulp pre-float-cast.)
+  val LN2: Double = StrictMath.log(2.0) // == Math.log(2.0) bit-for-bit
   /** log2(e), as the reference's ModelBase.LOG_2_OF_E. */
   val LOG_2_OF_E: Double = 1.0d / LN2
 
-  @inline def log2(x: Double): Double = math.log(x) / LN2
+  @inline def log2(x: Double): Double = StrictMath.log(x) / LN2
   def log2c(x: Column): Column = log(x) / lit(LN2)
 
   /** `relativeFrequency` clamp: tf/dl, but 0.99999 when tf == dl
@@ -232,7 +236,7 @@ object Scoring {
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val eij = (cf * docLen) / c
       if (tf <= eij) 0d
-      else kf * log2(math.pow(tf - eij, 2) / eij + 1)
+      else kf * log2(StrictMath.pow(tf - eij, 2) / eij + 1)
     }
     def expr(in: In): Column = {
       val eij = (in.cf * in.docLen) / in.c

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.analysis.Analyzer.Tag
+
+/** Tokenizer golden tests (FIXTURES.md §4; reference behavior from
+ * `analysis/Analyzers.java` chains). */
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("simple lowercase word-break") {
+    assert(Analyzer.analyze("The quick  Brown FOX") == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("punctuation breaks tokens") {
+    assert(Analyzer.analyze("hello, world! (test)") == Seq("hello", "world", "test"))
+  }
+
+  test("word-internal apostrophe is kept (UAX#29 single-quote)") {
+    assert(Analyzer.analyze("don't stop") == Seq("don't", "stop"))
+    assert(Analyzer.analyze("don’t") == Seq("don’t"))
+  }
+
+  test("possessive strip in NoStemPossessive") {
+    assert(Analyzer.analyze("Frank's car", Tag.NoStemPossessive) == Seq("frank", "car"))
+    assert(Analyzer.analyze("Frank's car", Tag.NoStem) == Seq("frank's", "car"))
+  }
+
+  test("mid-token dot kept between alphanumerics") {
+    assert(Analyzer.analyze("visit example.com now") == Seq("visit", "example.com", "now"))
+    assert(Analyzer.analyze("3.14 approx") == Seq("3.14", "approx"))
+  }
+
+  test("numbers with comma groupings") {
+    assert(Analyzer.analyze("1,000,000 items") == Seq("1,000,000", "items"))
+  }
+
+  test("trailing/leading punctuation dropped") {
+    assert(Analyzer.analyze("'quoted' end.") == Seq("quoted", "end"))
+  }
+
+  test("unicode letters") {
+    assert(Analyzer.analyze("Ünïcode tërm") == Seq("ünïcode", "tërm"))
+  }
+
+  test("null / empty safe") {
+    assert(Analyzer.analyze(null) == Nil)
+    assert(Analyzer.analyze("") == Nil)
+    assert(Analyzer.analyze("   ") == Nil)
+  }
+
+  test("query-syntax escape ports MQ09.escape:24-37 char list") {
+    assert(Analyzer.escapeQuerySyntax("""a\b+c-d!e(f)g:h^i[j]k"l{m}n~o*p?q|r&s/t""")
+      == "a b c d e f g h i j k l m n o p q r s t")
+    assert(Analyzer.escapeQuerySyntax("obama family tree") == "obama family tree")
+  }
+
+  test("analyzeQuery preserves multiplicity") {
+    assert(Analyzer.analyzeQuery("the the the") == Seq("the", "the", "the"))
+  }
+}

@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analysis.Analyzer
+import graft.data.Transcripts
+import graft.index.{Dictionary, IndexBuild, Tokenize}
+import graft.model.{Topic, Turn}
+import graft.query.{BlockMaxWand, Exact, Scoring}
+
+/**
+ * End-to-end engine invariants (SURVEY.md §5.2): rank-identity against the
+ * reference-semantics oracle, BMW ≡ exact path, text-equality, resume.
+ */
+class EngineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private val NUM_CONVS = 150
+  private val TURNS = 6
+  private lazy val turns = Transcripts.generate(spark, NUM_CONVS, TURNS, seed = 42L, partitions = 4)
+  private lazy val turnsLocal: Seq[Turn] =
+    (0L until NUM_CONVS).flatMap(ci => (0 until TURNS).map(ti => Transcripts.turnOf(ci, ti, 42L)))
+
+  private val topics = Seq(
+    Topic(1, "w0 w3"),              // hot Zipf terms
+    Topic(2, "needle0 needle7"),    // planted rare terms
+    Topic(3, "w1 w1 w1"),           // duplicate-term multiplicity
+    Topic(4, "qqqmissing"),         // zero-hit → sentinel
+    Topic(5, "w0 needle3 w42"),     // mixed hot/rare
+    Topic(6, "w10 w100 w500 w1500"))
+  private val SENT = "sentinel#0"
+  private val K = 50
+  private val model = Scoring.BM25c(0.9, 0.4)
+
+  private lazy val indexDir = {
+    val dir = Files.createTempDirectory("graft-idx").toString
+    IndexBuild.build(turns, dir, docsPerShard = 100) // 900 docs → 9 shards
+    dir
+  }
+  private lazy val index = IndexBuild.load(spark, indexDir)
+
+  test("per-turn text-equality invariant under stable (conv_id, turn_idx) order") {
+    val dir = Files.createTempDirectory("graft-turns").toString
+    turns.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+      .orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val expected = turnsLocal.sortBy(t => (t.conv_id, t.turn_idx))
+      .map(t => (t.conv_id, t.turn_idx, t.text))
+    assert(back.toSeq == expected)
+  }
+
+  test("exact path is rank-identical to the in-memory reference oracle") {
+    val td = Tokenize.termDocs(turns)
+    val dict = Dictionary.termStats(td)
+    val stats = Tokenize.corpusStats(Tokenize.docs(turns))
+    val got = Exact.search(td, dict, stats, topics, model, K, sentinelDocId = Some(SENT))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    val want = Oracle.topk(turnsLocal, topics, model, K, SENT).sortBy(t => (t._1, t._3))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("Block-Max WAND ≡ exact path (docIds and float scores)") {
+    val got = BlockMaxWand.search(index, topics, model, K, sentinelDocId = Some(SENT))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    val want = Oracle.topk(turnsLocal, topics, model, K, SENT).sortBy(t => (t._1, t._3))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("BMW ≡ exact for a parameter-free model (DirichletLM)") {
+    val m = Scoring.DirichletLM()
+    val got = BlockMaxWand.search(index, topics, m, K, sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    val want = Oracle.topk(turnsLocal, topics, m, K, SENT).sortBy(t => (t._1, t._3))
+    assert(got.toSeq == want)
+  }
+
+  test("decoded blocks reproduce the posting source exactly") {
+    val viaBlocks = index.termDocs
+      .select("docId", "docLen", "term", "tf")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val direct = Tokenize.termDocs(turns)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(viaBlocks.toSeq == direct.toSeq)
+  }
+
+  test("corpus stats match hand computation") {
+    val st = index.stats
+    val toks = turnsLocal.map(t => Analyzer.analyze(t.text).size.toLong)
+    assert(st.numDocs == turnsLocal.size)
+    assert(st.numTokens == toks.sum)
+  }
+
+  test("kill-resume: injected failure, restart skips completed shards, identical tables") {
+    val dirA = Files.createTempDirectory("graft-resume").toString
+    intercept[IndexBuild.InjectedFailure] {
+      IndexBuild.build(turns, dirA, docsPerShard = 100, waves = 3, failAfterWave = 0)
+    }
+    val afterCrash = IndexBuild.completedShards(spark, s"$dirA/postings")
+    assert(afterCrash.nonEmpty && afterCrash.size < 9, s"wave 0 of 3 should leave a strict subset, got $afterCrash")
+
+    // resume: completes only the remainder
+    IndexBuild.build(turns, dirA, docsPerShard = 100, waves = 3)
+    assert(IndexBuild.completedShards(spark, s"$dirA/postings").size == 9)
+
+    def fp(dir: String) = IndexBuild.load(spark, dir).termDocs
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).sorted
+    assert(fp(dirA).toSeq == fp(indexDir).toSeq)
+
+    // manifest carries per-shard lineage + metrics
+    val manifest = spark.read.parquet(s"$dirA/manifest")
+    assert(manifest.select("shard").distinct().count() == 9)
+    assert(manifest.columns.toSet ==
+      Set("shard", "nBlocks", "nPostings", "nTerms", "sumMaxTf", "wave", "wallMs"))
+  }
+
+  test("TF histogram (Spark column math) == scalar Scala loop") {
+    val bins = 10
+    val terms = Seq("w0", "w5", "needle0")
+    val td = Tokenize.termDocs(turns).filter(col("term").isin(terms: _*))
+    val v = floor(col("tf").cast("double") / col("docLen").cast("double") * bins)
+    val got = td.withColumn("bin", when(v === bins, v).otherwise(v + 1).cast("int"))
+      .groupBy("term", "bin").count()
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+
+    val want = scala.collection.mutable.Map.empty[(String, Int), Long]
+    turnsLocal.foreach { t =>
+      val toks = Analyzer.analyze(t.text)
+      val dl = toks.size.toDouble
+      toks.groupBy(identity).foreach { case (w, o) =>
+        if (terms.contains(w)) {
+          val pct = o.size / dl
+          val vv = (pct * bins).toInt
+          val bin = if (vv == bins) vv else vv + 1
+          want((w, bin)) = want.getOrElse((w, bin), 0L) + 1
+        }
+      }
+    }
+    assert(got == want.toMap)
+  }
+}
