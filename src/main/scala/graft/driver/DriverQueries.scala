@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
 import graft.data.Transcripts
+import graft.eval.Metrics
 import graft.index.{Dictionary, IndexBuild, Tokenize}
 import graft.model.Topic
 import graft.query.{BlockMaxWand, Exact, Scoring}
+import graft.stats.{Histograms, Qpp}
 
 /**
  * Driver-facing correctness queries (SparkEntry.queries) with DuckDB oracle
@@ -253,9 +255,261 @@ object DriverQueries {
         |FROM q JOIN dict ON q.term = dict.term CROSS JOIN st""".stripMargin))
   )
 
+  // ---- batch 2: histograms, QPP, native eval, spam re-rank ----
+
+  /** BM25 rounded-double run WITHOUT sentinel (k=20) — eval/spam input. */
+  private def bm25Run(s: SparkSession, d: String): DataFrame = {
+    val td = termDocs(s, d)
+    Exact.search(td, Dictionary.termStats(td), Tokenize.corpusStats(docs(s, d)),
+      topics, Scoring.BM25c(0.9, 0.4), K, roundedDouble = Some(4))
+  }
+
+  /** Synthetic deterministic qrels over documents: qid × doc where
+   * (doc_id + qid·7) % 13 == 0, judge = doc_id % 3 ∈ {0,1,2}. */
+  private def qrelsDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qids = topics.map(_.qid).toDF("qid")
+    Transcripts.table(s, d, "documents")
+      .select(col("doc_id"))
+      .crossJoin(broadcast(qids))
+      .filter((col("doc_id") + col("qid") * 7) % 13 === 0)
+      .select(col("qid"),
+        concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+        (col("doc_id") % 3).cast("int").as("judge"))
+  }
+
+  private val qrelsSqlCte =
+    s"""qrels AS (SELECT q.qid AS qid,
+       |  'doc-' || CAST(d.doc_id AS VARCHAR) || '#0' AS docid,
+       |  CAST(d.doc_id % 3 AS INT) AS judge
+       |  FROM documents d CROSS JOIN (VALUES $qidValues) AS q(qid)
+       |  WHERE (d.doc_id + q.qid * 7) % 13 = 0)""".stripMargin
+
+  /** The r1 ranked run as a SQL CTE (no sentinel), reused by eval/spam. */
+  private val runSqlCte =
+    s"""qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+       |scored AS (
+       |  SELECT qv.qid AS qid, tf.doc_id AS doc_id,
+       |         round(sum(qv.mult * ($bm25Sql)), 4) AS score
+       |  FROM qv
+       |  JOIN tf ON qv.term = tf.term
+       |  JOIN dl ON tf.doc_id = dl.doc_id
+       |  JOIN dict ON qv.term = dict.term
+       |  CROSS JOIN st
+       |  GROUP BY qv.qid, tf.doc_id),
+       |run AS (
+       |  SELECT * FROM (
+       |    SELECT qid, 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid,
+       |           CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, ('doc-' || CAST(doc_id AS VARCHAR) || '#0') ASC) AS INT) AS rank,
+       |           score
+       |    FROM scored) WHERE rank <= $K)""".stripMargin
+
+  val specs2: Seq[Spec] = Seq(
+
+    // Zero (add-one) distribution: matching docs bin (tf+1)/(dl+1), docs
+    // NOT containing the term bin 1/(dl+1) (ZeroDistribution.java:55-120).
+    Spec("a6_zero_histogram",
+      (s, d) => Histograms.zero(termDocs(s, d), docs(s, d), histTerms, 10),
+      Some(s"""WITH $CTES,
+        |m AS (SELECT tf.term AS term,
+        |        CAST(floor((tf.tf * 1.0 + 1) / (dl.dl * 1.0 + 1) * 10) AS INT) AS v
+        |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |      WHERE tf.term IN ${sqlTermList(histTerms)}),
+        |nm AS (SELECT t.term AS term,
+        |         CAST(floor(1.0 / (dl.dl * 1.0 + 1) * 10) AS INT) AS v
+        |       FROM dl CROSS JOIN (SELECT unnest(ARRAY[${histTerms.map(t => s"'$t'").mkString(",")}]) AS term) t
+        |       LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = t.term
+        |       WHERE tf.doc_id IS NULL),
+        |b AS (SELECT term, v FROM m UNION ALL SELECT term, v FROM nm)
+        |SELECT term, CASE WHEN v = 10 THEN v ELSE v + 1 END AS bin, count(*) AS cnt
+        |FROM b GROUP BY 1, 2""".stripMargin)),
+
+    // Dirichlet-smoothed distribution: (tf+e)/(dl+e), e = cf·dl/C
+    // (DirichletDistribution.java relativeFrequency).
+    Spec("a6b_dirichlet_histogram",
+      (s, d) => {
+        val td = termDocs(s, d)
+        Histograms.dirichlet(td, Dictionary.termStats(td), Tokenize.corpusStats(docs(s, d)),
+          histTerms, 10)
+      },
+      Some(s"""WITH $CTES,
+        |j AS (SELECT tf.term AS term,
+        |        CAST(floor((tf.tf * 1.0 + (dict.cf * dl.dl) * 1.0 / st.c)
+        |                 / (dl.dl * 1.0 + (dict.cf * dl.dl) * 1.0 / st.c) * 10) AS INT) AS v
+        |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |      JOIN dict ON tf.term = dict.term CROSS JOIN st
+        |      WHERE tf.term IN ${sqlTermList(histTerms)})
+        |SELECT term, CASE WHEN v = 10 THEN v ELSE v + 1 END AS bin, count(*) AS cnt
+        |FROM j GROUP BY 1, 2""".stripMargin)),
+
+    // Phi histogram (freq/Phi.java:46-90) — commons-math3 normal CDF has no
+    // DuckDB twin, so this is a rows-only check; the binning is unit-tested.
+    Spec("a5_phi_histogram",
+      (s, d) => {
+        val td = termDocs(s, d)
+        Histograms.phi(td, Dictionary.termStats(td), Tokenize.corpusStats(docs(s, d)),
+          histTerms, 10)
+      },
+      None),
+
+    // QPP aggregation over per-term idf (qpp/Aggregate.java).
+    Spec("a10b_qpp_agg",
+      (s, d) => {
+        val pt = Qpp.perTerm(s, topics, Dictionary.termStats(termDocs(s, d)),
+          Tokenize.corpusStats(docs(s, d)))
+        Qpp.aggregate(pt, "idf").select(
+          col("qid"), round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+          round(col("avg"), 6).as("avg"), round(col("sum"), 6).as("sum"),
+          round(col("gm"), 6).as("gm"), round(col("std"), 6).as("std"),
+          round(col("var"), 6).as("var"))
+      },
+      Some(s"""WITH $CTES,
+        |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |pt AS (SELECT q.qid AS qid, ln(st.n * 1.0 / dict.df) AS idf
+        |       FROM q JOIN dict ON q.term = dict.term CROSS JOIN st)
+        |SELECT qid, round(min(idf), 6) AS min, round(max(idf), 6) AS max,
+        |  round(avg(idf), 6) AS avg, round(sum(idf), 6) AS sum,
+        |  round(exp(avg(ln(idf))), 6) AS gm,
+        |  round(CASE WHEN count(*) > 1 THEN stddev_samp(idf) ELSE 0.0 END, 6) AS std,
+        |  round(CASE WHEN count(*) > 1 THEN var_samp(idf) ELSE 0.0 END, 6) AS var
+        |FROM pt GROUP BY qid""".stripMargin)),
+
+    // Scope predictor (qpp/Scope.java:47-49).
+    Spec("a10c_scope",
+      (s, d) => Qpp.scope(termDocs(s, d), topics, Tokenize.corpusStats(docs(s, d)))
+        .select(col("qid"), round(col("scope"), 6).as("scope")),
+      Some(s"""WITH $CTES,
+        |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |m AS (SELECT qid, count(*) AS num_matches FROM (
+        |        SELECT q.qid AS qid, tf.doc_id FROM q JOIN tf ON q.term = tf.term
+        |        GROUP BY q.qid, tf.doc_id) GROUP BY qid)
+        |SELECT qid, round(-ln(num_matches * 1.0 / st.n) / ln(st.n * 1.0), 6) AS scope
+        |FROM m CROSS JOIN st""".stripMargin)),
+
+    // VAR predictor (qpp/VAR.java:42-117): wdt = 1 + ln(tf)·ln(1 + N/df).
+    Spec("a10d_var",
+      (s, d) => Qpp.varPredictor(s, termDocs(s, d), topics, Tokenize.corpusStats(docs(s, d)))
+        .select(col("qid"), round(col("var"), 6).as("var")),
+      Some(s"""WITH $CTES,
+        |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |dft AS (SELECT tf.term AS term, count(*) * 1.0 AS df FROM tf
+        |        WHERE tf.term IN (SELECT term FROM q) GROUP BY tf.term),
+        |w AS (SELECT tf.term AS term, dft.df AS df,
+        |        1 + ln(tf.tf * 1.0) * ln(1 + st.n * 1.0 / dft.df) AS wdt
+        |      FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN st),
+        |tv AS (SELECT term, df, sum(wdt) AS wdtsum, sum(wdt * wdt) AS wdtsq
+        |       FROM w GROUP BY term, df),
+        |tv2 AS (SELECT term, sqrt(1.0 / df * greatest(wdtsq - pow(wdtsum, 2) / df, 0.0)) AS termvar
+        |        FROM tv)
+        |SELECT q.qid AS qid, round(sum(tv2.termvar) / count(*), 6) AS var
+        |FROM q JOIN tv2 ON q.term = tv2.term GROUP BY q.qid""".stripMargin)),
+
+    // PMI predictor (qpp/PMI.java:54-77): avg pairwise
+    // log2((N+1)·df(t1∧t2)/((df1+1)(df2+1))); single-term queries → 0.
+    Spec("a10e_pmi",
+      (s, d) => {
+        import s.implicits._
+        Qpp.pmi(s, termDocs(s, d), topics, Tokenize.corpusStats(docs(s, d)))
+          .toDF("qid", "pmi").select(col("qid"), round(col("pmi"), 6).as("pmi"))
+      },
+      Some {
+        val pairRows = topics.flatMap { t =>
+          val terms = Analyzer.analyzeQuery(t.query).distinct
+          for { i <- terms.indices; j <- (i + 1) until terms.size } yield {
+            val (a, b) = if (terms(i) < terms(j)) (terms(i), terms(j)) else (terms(j), terms(i))
+            s"(${t.qid}, '$a', '$b')"
+          }
+        }
+        val singles = topics.filter(t => Analyzer.analyzeQuery(t.query).distinct.size <= 1)
+          .map(t => s"(${t.qid})").mkString(", ")
+        s"""WITH $CTES,
+          |pr(qid, t1, t2) AS (SELECT * FROM (VALUES ${pairRows.mkString(", ")}) AS v(qid, t1, t2)),
+          |pc AS (SELECT a.term AS t1, b.term AS t2, count(*) * 1.0 AS cnt
+          |       FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.term < b.term
+          |       GROUP BY a.term, b.term),
+          |pv AS (SELECT pr.qid AS qid,
+          |         ln((st.n + 1) * COALESCE(pc.cnt, 0.0)
+          |            / ((COALESCE(d1.df, 0) + 1.0) * (COALESCE(d2.df, 0) + 1.0))) / ln(2.0) AS pmi
+          |       FROM pr LEFT JOIN pc ON pr.t1 = pc.t1 AND pr.t2 = pc.t2
+          |       LEFT JOIN dict d1 ON pr.t1 = d1.term
+          |       LEFT JOIN dict d2 ON pr.t2 = d2.term
+          |       CROSS JOIN st)
+          |SELECT qid, round(sum(pmi) / count(*), 6) AS pmi FROM pv GROUP BY qid
+          |UNION ALL
+          |SELECT qid, 0.0 AS pmi FROM (VALUES $singles) AS sgl(qid)""".stripMargin
+      }),
+
+    // Native eval metrics over the BM25 run × synthetic qrels
+    // (SURVEY.md §2.11; AP/P@10/R@10/NDCG@10/ERR@10 per query).
+    Spec("e1_eval_metrics",
+      (s, d) => Metrics.perQuery(
+          bm25Run(s, d).withColumnRenamed("docid", "docId"), qrelsDf(s, d), k = 10, gmax = 4)
+        .select(col("qid"), round(col("ap"), 6).as("ap"),
+          round(col("p10"), 6).as("p10"), round(col("recall10"), 6).as("recall10"),
+          round(col("ndcg10"), 6).as("ndcg10"), round(col("err10"), 6).as("err10")),
+      Some(s"""WITH $CTES,
+        |$runSqlCte,
+        |$qrelsSqlCte,
+        |j AS (SELECT r.qid AS qid, r.docid AS docid, r.rank AS rank,
+        |        COALESCE(qr.judge, 0) AS judge,
+        |        CASE WHEN COALESCE(qr.judge, 0) > 0 THEN 1 ELSE 0 END AS rel
+        |      FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.docid = qr.docid),
+        |e AS (SELECT *,
+        |        sum(rel) OVER (PARTITION BY qid ORDER BY rank) * 1.0 / rank AS precat,
+        |        (pow(2.0, judge) - 1) / 16.0 AS errr,
+        |        (pow(2.0, judge) - 1) / (ln(rank * 1.0 + 1) / ln(2.0)) AS dcggain
+        |      FROM j),
+        |e2 AS (SELECT *,
+        |        (errr / rank) * exp(COALESCE(sum(ln(1.0 - (CASE WHEN errr >= 1.0 THEN 0.999999 ELSE errr END)))
+        |          OVER (PARTITION BY qid ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)) AS errcontrib
+        |      FROM e),
+        |base AS (SELECT qid,
+        |    sum(CASE WHEN rel = 1 THEN precat ELSE 0.0 END) AS apnum,
+        |    sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) * 1.0 AS relatk,
+        |    sum(CASE WHEN rank <= 10 THEN dcggain ELSE 0.0 END) AS dcgatk,
+        |    sum(CASE WHEN rank <= 10 THEN errcontrib ELSE 0.0 END) AS erratk
+        |  FROM e2 GROUP BY qid),
+        |nr AS (SELECT qid, count(*) AS numrel FROM qrels WHERE judge > 0 GROUP BY qid),
+        |idcg AS (SELECT qid, sum((pow(2.0, judge) - 1) / (ln(irank * 1.0 + 1) / ln(2.0))) AS idcgatk
+        |  FROM (SELECT qid, judge,
+        |          row_number() OVER (PARTITION BY qid ORDER BY judge DESC, docid ASC) AS irank
+        |        FROM qrels WHERE judge > 0)
+        |  WHERE irank <= 10 GROUP BY qid)
+        |SELECT base.qid AS qid,
+        |  round(CASE WHEN nr.numrel IS NULL OR nr.numrel = 0 THEN 0.0 ELSE apnum / nr.numrel END, 6) AS ap,
+        |  round(relatk / 10, 6) AS p10,
+        |  round(CASE WHEN nr.numrel IS NULL OR nr.numrel = 0 THEN 0.0 ELSE relatk / nr.numrel END, 6) AS recall10,
+        |  round(CASE WHEN idcg.idcgatk IS NULL OR idcg.idcgatk = 0 THEN 0.0 ELSE dcgatk / idcg.idcgatk END, 6) AS ndcg10,
+        |  round(erratk, 6) AS err10
+        |FROM base LEFT JOIN nr ON base.qid = nr.qid LEFT JOIN idcg ON base.qid = idcg.qid""".stripMargin)),
+
+    // Waterloo-spam re-rank (spam/SpamTool.java:99-120): drop percentile <
+    // 50, re-rank by (score desc, docId DESC — SubmissionFile.java:58-65).
+    Spec("r6_spam_rerank",
+      (s, d) => {
+        val spam = Transcripts.table(s, d, "documents")
+          .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+            (col("doc_id") % 100).cast("int").as("percentile"))
+        Metrics.spamRerank(bm25Run(s, d).withColumnRenamed("docid", "docId"), spam,
+            threshold = 50, k = 10)
+          .withColumnRenamed("docId", "docid")
+      },
+      Some(s"""WITH $CTES,
+        |$runSqlCte,
+        |spam AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid,
+        |           CAST(doc_id % 100 AS INT) AS percentile FROM documents)
+        |SELECT qid, docid, rank, score FROM (
+        |  SELECT r.qid AS qid, r.docid AS docid,
+        |    CAST(row_number() OVER (PARTITION BY r.qid ORDER BY r.score DESC, r.docid DESC) AS INT) AS rank,
+        |    r.score AS score
+        |  FROM run r LEFT JOIN spam ON r.docid = spam.docid
+        |  WHERE COALESCE(spam.percentile, 0) >= 50)
+        |WHERE rank <= 10""".stripMargin))
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    specs.map(s => s.name -> s.fn).toMap
+    (specs ++ specs2).map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    specs.flatMap(s => s.oracle.map(s.name -> _)).toMap
+    (specs ++ specs2).flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

@@ -1,0 +1,98 @@
+package graft.stats
+
+import graft.query.Scoring.log2
+
+/**
+ * Histogram divergences + TFD vector transforms (SURVEY.md §2.10; reference
+ * `knn/ChiSquare.java`, `knn/KullbackLeibler.java`, `knn/JensenShannon.java`,
+ * `knn/Decorator.java`, `knn/TFDAwareNeed.java`). Histograms are ≤1001-bin
+ * arrays: pure driver-side Scala over collected arrays (the distributed part
+ * is building the histograms, Histograms.scala).
+ */
+object Divergence {
+
+  /** χ² over aligned bins, skipping both-zero bins; optionally divided by
+   * the participating-bin count (`knn/ChiSquare.java:26-44`). */
+  def chiPdf(r: Array[Double], s: Array[Double], divide: Boolean): Double = {
+    var chi = 0.0; var counter = 0; var i = 0
+    while (i < r.length) {
+      if (!(r(i) == 0 && s(i) == 0)) {
+        counter += 1
+        chi += math.pow(r(i) - s(i), 2.0) / (r(i) + s(i))
+      }
+      i += 1
+    }
+    if (divide) chi / counter else chi
+  }
+
+  /** χ² over suffix-cumulated bins (`knn/ChiSquare.java:46-71`). */
+  def chiCdf(r: Array[Double], s: Array[Double]): Double = {
+    var chi = 0.0; var rr = 0.0; var ss = 0.0
+    var i = r.length - 1
+    while (i >= 0) {
+      rr += r(i); ss += s(i)
+      if (!(rr == 0 && ss == 0)) chi += math.pow(rr - ss, 2.0) / (rr + ss)
+      i -= 1
+    }
+    chi
+  }
+
+  /** One-sided KL skipping zero bins on either side
+   * (`knn/KullbackLeibler.java:29-46`). */
+  def kl(r: Array[Double], s: Array[Double], divide: Boolean): Double = {
+    var v = 0.0; var counter = 0; var i = 0
+    while (i < r.length) {
+      if (r(i) != 0 && s(i) != 0) {
+        counter += 1
+        v += r(i) * log2(r(i) / s(i))
+      }
+      i += 1
+    }
+    if (divide) v / counter else v
+  }
+
+  /** Symmetrized KL: KL(R,S) + KL(S,R) (`KullbackLeibler.java:23-26`). */
+  def klSym(r: Array[Double], s: Array[Double], divide: Boolean = false): Double =
+    kl(r, s, divide) + kl(s, r, divide)
+
+  /** One-sided JS against the midpoint (`knn/JensenShannon.java:34-51`). */
+  def js(r: Array[Double], s: Array[Double], divide: Boolean): Double = {
+    var v = 0.0; var counter = 0; var i = 0
+    while (i < r.length) {
+      if (r(i) != 0) {
+        counter += 1
+        v += r(i) * log2(r(i) / (0.5 * r(i) + 0.5 * s(i)))
+      }
+      i += 1
+    }
+    if (divide) v / counter else v
+  }
+
+  /** Symmetrized JS (`JensenShannon.java:26-32`). */
+  def jsSym(r: Array[Double], s: Array[Double], divide: Boolean = false): Double =
+    js(r, s, divide) + js(s, r, divide)
+
+  // ---- TFDAwareNeed vector transforms (`knn/Decorator.java:81-138`) ----
+
+  /** Insert a value at position 0 (df at slot 0, `DecoratorTest.java:10-37`). */
+  def insertZerothPosition(arr: Array[Double], v: Double): Array[Double] =
+    v +: arr
+
+  /** Suffix CDF: cdf(i) = Σ_{j ≥ i} arr(j) (TFDAwareNeed cdf vectors). */
+  def cdf(arr: Array[Double]): Array[Double] = {
+    val out = new Array[Double](arr.length)
+    var acc = 0.0
+    var i = arr.length - 1
+    while (i >= 0) { acc += arr(i); out(i) = acc; i -= 1 }
+    out
+  }
+
+  /** Normalize bins to fractions of their sum (df-normalized vectors). */
+  def normalize(arr: Array[Double]): Array[Double] = {
+    val sum = arr.sum
+    if (sum == 0) arr.clone() else arr.map(_ / sum)
+  }
+
+  def sqrtTransform(arr: Array[Double]): Array[Double] = arr.map(math.sqrt)
+  def log1pTransform(arr: Array[Double]): Array[Double] = arr.map(x => math.log(x + 1))
+}

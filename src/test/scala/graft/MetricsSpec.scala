@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.eval.Metrics
+
+/** Native eval metrics vs hand-computed values (SURVEY.md §5 stats.golden). */
+class MetricsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import org.apache.spark.sql.functions.col
+
+  // run: one query, 5 ranked docs; qrels: d1 judge 2, d3 judge 1, d9 judge 3 (unretrieved)
+  private lazy val runs = {
+    import spark.implicits._
+    Seq((1, "d1", 1, 5.0), (1, "d2", 2, 4.0), (1, "d3", 3, 3.0), (1, "d4", 4, 2.0), (1, "d5", 5, 1.0))
+      .toDF("qid", "docId", "rank", "score")
+  }
+  private lazy val qrels = {
+    import spark.implicits._
+    Seq((1, "d1", 2), (1, "d3", 1), (1, "d9", 3), (1, "d2", 0)).toDF("qid", "docId", "judge")
+  }
+
+  test("AP, P@k, Recall@k hand-check") {
+    val m = Metrics.perQuery(runs, qrels, k = 5, gmax = 4).collect().head
+    // rel docs in qrels: d1, d3, d9 → numRel = 3
+    // AP = (P@1 + P@3)/3 = (1/1 + 2/3)/3
+    assert(math.abs(m.getAs[Double]("ap") - (1.0 + 2.0 / 3) / 3) < 1e-12)
+    assert(m.getAs[Double]("p5") == 2.0 / 5)
+    assert(math.abs(m.getAs[Double]("recall5") - 2.0 / 3) < 1e-12)
+  }
+
+  test("NDCG@k hand-check (gdeval gain 2^j - 1)") {
+    val m = Metrics.perQuery(runs, qrels, k = 5, gmax = 4).collect().head
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val dcg = (math.pow(2, 2) - 1) / log2(2) + (math.pow(2, 1) - 1) / log2(4)
+    // ideal: judges sorted desc: 3 (d9), 2 (d1), 1 (d3)
+    val idcg = (math.pow(2, 3) - 1) / log2(2) + (math.pow(2, 2) - 1) / log2(3) + (math.pow(2, 1) - 1) / log2(4)
+    assert(math.abs(m.getAs[Double]("ndcg5") - dcg / idcg) < 1e-9)
+  }
+
+  test("ERR@k hand-check") {
+    val m = Metrics.perQuery(runs, qrels, k = 5, gmax = 4).collect().head
+    // R_i = (2^j - 1)/16: r1 → 3/16, r3 → 1/16, others 0
+    val r1 = 3.0 / 16
+    val r3 = 1.0 / 16
+    val err = r1 / 1 + (1 - r1) * r3 / 3
+    assert(math.abs(m.getAs[Double]("err5") - err) < 1e-9)
+  }
+
+  test("spam re-rank drops low percentiles and re-ranks (score desc, docId desc)") {
+    import spark.implicits._
+    val spam = Seq(("d1", 90), ("d2", 10), ("d3", 55), ("d4", 55), ("d5", 70))
+      .toDF("docId", "percentile")
+    val rr = Metrics.spamRerank(runs, spam, threshold = 50, k = 10)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getInt(2)))
+    assert(rr.toSeq == Seq(("d1", 1), ("d3", 2), ("d4", 3), ("d5", 4))) // d2 dropped
+  }
+
+  test("tie in spam re-rank broken by docId DESC (SubmissionFile.java:58-65)") {
+    import spark.implicits._
+    val runsTie = Seq((1, "a", 1, 2.0), (1, "b", 2, 2.0)).toDF("qid", "docId", "rank", "score")
+    val spam = Seq(("a", 99), ("b", 99)).toDF("docId", "percentile")
+    val rr = Metrics.spamRerank(runsTie, spam, 50, 10).orderBy("rank")
+      .collect().map(_.getString(1))
+    assert(rr.toSeq == Seq("b", "a"))
+  }
+}
