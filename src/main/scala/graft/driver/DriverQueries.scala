@@ -507,9 +507,142 @@ object DriverQueries {
         |WHERE rank <= 10""".stripMargin))
   )
 
+  // ---- batch 3: training-data pipeline operators ----
+
+  /** Documents plus planted duplicates (copies of doc_id < 25 at +100000) —
+   * gives dedup something to find, deterministically in both engines. */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Transcripts.table(s, d, "documents").select("doc_id", "text")
+    docs.unionByName(docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+  private val dupCorpusCte =
+    """corp AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25)""".stripMargin
+
+  val specs3: Seq[Spec] = Seq(
+
+    // Exact dedup: content-hash groups with >1 member.
+    Spec("d1_dedup_exact",
+      (s, d) => graft.pipeline.Dedup.exactGroups(dupCorpus(s, d), "doc_id", "text"),
+      Some(s"""WITH $dupCorpusCte
+        |SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical_id
+        |FROM corp GROUP BY md5(text) HAVING count(*) > 1""".stripMargin)),
+
+    // Exact distinct-token-set Jaccard pairs (the dedup verification kernel).
+    Spec("d2_jaccard_pairs",
+      (s, d) => graft.pipeline.Dedup.tokenJaccardPairs(
+        Transcripts.table(s, d, "documents"), "doc_id", "text", maxId = 150, threshold = 0.8),
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |         FROM documents WHERE doc_id < 150),
+        |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+        |nd AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) * 1.0 AS icnt
+        |          FROM dt a JOIN dt b ON a.term = b.term AND a.doc_id < b.doc_id
+        |          GROUP BY a.doc_id, b.doc_id)
+        |SELECT id1, id2, round(icnt / (n1.n + n2.n - icnt), 6) AS jaccard
+        |FROM inter JOIN nd n1 ON inter.id1 = n1.doc_id JOIN nd n2 ON inter.id2 = n2.doc_id
+        |WHERE icnt / (n1.n + n2.n - icnt) >= 0.8""".stripMargin)),
+
+    // MinHash + LSH near-dup candidates, exact-Jaccard verified (rows-only:
+    // the signature/banding internals are property-tested in DedupSpec).
+    Spec("d3_minhash_lsh",
+      (s, d) => graft.pipeline.Dedup.minhashLsh(dupCorpus(s, d), "doc_id", "text",
+        shingleK = 3, bands = 8, rows = 4, threshold = 0.5),
+      None),
+
+    // SimHash near-dup pairs within hamming ≤ 3 (rows-only; unit-tested).
+    Spec("d4_simhash_pairs",
+      (s, d) => graft.pipeline.Dedup.simhashPairs(dupCorpus(s, d), "doc_id", "text", maxDist = 3),
+      None),
+
+    // Brute-force cosine ANN baseline: top-5 neighbours of vec_id < 10.
+    Spec("s1_ann_cosine_topk",
+      (s, d) => {
+        val emb = Transcripts.table(s, d, "embeddings")
+        graft.pipeline.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      },
+      Some(s"""WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |              unnest(range(len(embedding))) AS pos FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM el GROUP BY vec_id),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS id, sum(c.v * q.v) AS dot
+        |         FROM el c JOIN el q ON c.pos = q.pos AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |         GROUP BY q.vec_id, c.vec_id),
+        |cosv AS (SELECT qid, id, round(dot / (nc.nn * nq.nn), 6) AS cos
+        |         FROM dots JOIN nrm nc ON dots.id = nc.vec_id JOIN nrm nq ON dots.qid = nq.vec_id)
+        |SELECT qid, id, rank, cos FROM (
+        |  SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rank, cos
+        |  FROM cosv) WHERE rank <= 5""".stripMargin)),
+
+    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in tests).
+    // 8 planes + 2-bit multi-probe: ~14% of buckets probed — enough recall
+    // to be meaningful on the unclustered synthetic embeddings.
+    Spec("s2_ann_lsh_topk",
+      (s, d) => {
+        val emb = Transcripts.table(s, d, "embeddings")
+        graft.pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          planes = 8, probeBits = 2)
+      },
+      None),
+
+    // Per-doc text-quality statistics (all column math).
+    Spec("x1_textstats",
+      (s, d) => graft.pipeline.TextAnalysis.textStats(
+        Transcripts.table(s, d, "documents"), "doc_id", "text"),
+      Some {
+        val stopList = graft.pipeline.TextAnalysis.STOPWORDS.map(s => s"'$s'").mkString(", ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          |base AS (SELECT doc_id,
+          |    len(string_split(text, ' ')) * 1.0 AS n,
+          |    length(text) * 1.0 AS chars FROM documents),
+          |uq AS (SELECT doc_id, count(DISTINCT term) * 1.0 AS nu FROM tok GROUP BY doc_id),
+          |st AS (SELECT doc_id, count(*) * 1.0 AS ns FROM tok WHERE term IN ($stopList) GROUP BY doc_id)
+          |SELECT base.doc_id AS id,
+          |  CAST(base.n AS BIGINT) AS n_tokens,
+          |  CAST(uq.nu AS BIGINT) AS n_uniq,
+          |  round((base.chars - (base.n - 1)) / base.n, 6) AS avg_word_len,
+          |  round(COALESCE(st.ns, 0.0) / base.n, 6) AS stop_ratio,
+          |  round(uq.nu / base.n, 6) AS uniq_ratio,
+          |  round(least(1.0, greatest(0.0,
+          |    0.3 + 0.5 * (uq.nu / base.n) + 1.5 * (COALESCE(st.ns, 0.0) / base.n)
+          |    - 0.002 * abs(base.n - 60))), 6) AS quality
+          |FROM base JOIN uq ON base.doc_id = uq.doc_id
+          |LEFT JOIN st ON base.doc_id = st.doc_id""".stripMargin
+      }),
+
+    // Language ID heuristic (rows-only; behavior pinned by unit tests on
+    // natural-language samples — the synthetic corpus is language-less).
+    Spec("x2_langid",
+      (s, d) => graft.pipeline.TextAnalysis.withLanguage(
+        Transcripts.table(s, d, "documents"), "doc_id", "text"),
+      None),
+
+    // Normalization fingerprint: md5 of analyzed tokens re-joined — equals
+    // md5(text) exactly because the corpus text is already canonical.
+    Spec("x3_fingerprint",
+      (s, d) => graft.pipeline.TextAnalysis.normalizedFingerprint(
+        Transcripts.table(s, d, "documents"), "doc_id", "text"),
+      Some("SELECT doc_id AS id, md5(text) AS fingerprint FROM documents")),
+
+    // BPE-ish LLM token estimate: alnum runs cost ceil(len/4).
+    Spec("x4_approx_tokens",
+      (s, d) => graft.pipeline.TextAnalysis.withApproxTokens(
+        Transcripts.table(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT doc_id AS id, CAST(sum((length(term) + 3) // 4) AS BIGINT) AS approx_llm_tokens
+        |FROM tok GROUP BY doc_id""".stripMargin)),
+
+    // Multimodal stub pipeline: binary payload → batch decode → metadata +
+    // feature norm (rows-only; codec determinism unit-tested).
+    Spec("m1_multimodal_features",
+      (s, d) => graft.pipeline.Multimodal.featuresOf(
+        Transcripts.table(s, d, "documents"), "doc_id", "text"),
+      None)
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (specs ++ specs2).map(s => s.name -> s.fn).toMap
+    (specs ++ specs2 ++ specs3).map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    (specs ++ specs2).flatMap(s => s.oracle.map(s.name -> _)).toMap
+    (specs ++ specs2 ++ specs3).flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

@@ -1,0 +1,199 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ *
+ * Four families, each shaped for 100 TB inputs:
+ *  - exact: content-hash groupBy (one shuffle of (hash, id) pairs only)
+ *  - MinHash + LSH: shingle → signature (map-only) → band-bucket join
+ *    (shuffle carries b rows per doc, not the text)
+ *  - SimHash: 64-bit weighted bit-vote fingerprint, map-only; near-dup =
+ *    small hamming distance within LSH-style prefix buckets
+ *  - n-gram / token-set Jaccard: exact verification on candidate pairs
+ */
+object Dedup {
+
+  // ---- exact -------------------------------------------------------------
+
+  /** Duplicate groups by content hash: (textHash, nDups, canonicalId).
+   * At scale only (hash, id) shuffles; the text never moves. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("text_hash"), col(idCol).as("id"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_dups"), min("id").as("canonical_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Keep one representative per duplicate group (smallest id). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---- shingling / MinHash -----------------------------------------------
+
+  /** Word k-gram shingles of an analyzed token sequence. */
+  def shingles(tokens: Seq[String], k: Int): Set[String] =
+    if (tokens.size < k) Set(tokens.mkString(" "))
+    else tokens.sliding(k).map(_.mkString(" ")).toSet
+
+  /** Stable 64-bit hash of a string (two murmur32 passes, seeded). */
+  def hash64(s: String, seed: Int = 0): Long = {
+    val h1 = MurmurHash3.stringHash(s, seed)
+    val h2 = MurmurHash3.stringHash(s, seed + 0x9e3779b9)
+    (h1.toLong << 32) | (h2.toLong & 0xFFFFFFFFL)
+  }
+
+  /** MinHash signature: numHashes permutations h_i(x) = a_i·x + b_i over the
+   * shingle base hashes (standard universal-hash construction). */
+  def minhashSignature(sh: Set[String], numHashes: Int, seed: Long = 42L): Array[Long] = {
+    val rng = new scala.util.Random(seed)
+    val abs = Array.fill(numHashes)((rng.nextLong() | 1L, rng.nextLong()))
+    val base = sh.toArray.map(hash64(_))
+    Array.tabulate(numHashes) { i =>
+      val (a, b) = abs(i)
+      var m = Long.MaxValue
+      var j = 0
+      while (j < base.length) {
+        val v = a * base(j) + b
+        if (v < m) m = v
+        j += 1
+      }
+      m
+    }
+  }
+
+  /** Exact Jaccard of two sets. */
+  def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  /** Signature agreement fraction — the MinHash estimate of Jaccard. */
+  def signatureSimilarity(a: Array[Long], b: Array[Long]): Double =
+    a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
+
+  /**
+   * MinHash-LSH candidate pairs: signatures split into `bands` bands of
+   * `rows` hashes; docs sharing any band bucket become candidates, then
+   * verified with exact shingle Jaccard ≥ threshold.
+   *
+   * Plan shape: tokenize+sign map-only; bucket join shuffles (bandId,
+   * bandHash, id) — b small rows per doc; candidate verification joins the
+   * shingle sets back only for the (rare) colliding pairs.
+   */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 shingleK: Int = 3, bands: Int = 8, rows: Int = 4,
+                 threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val numHashes = bands * rows
+
+    val shingled = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val sh = shingles(graft.analysis.Analyzer.analyze(text), shingleK)
+        (id, sh.toSeq, minhashSignature(sh, numHashes, seed))
+      }
+      .toDF("id", "shingles", "sig")
+      .cache()
+
+    // band hash = murmur of (band index, the band's signature slice)
+    val bandHashes = org.apache.spark.sql.functions.transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => hash(b, slice(col("sig"), b * rows + 1, lit(rows))))
+    val banded = shingled.select(col("id"),
+      posexplode(bandHashes).as(Seq("band", "bandHash")))
+
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+
+    val verified = candidates
+      .join(shingled.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
+      .join(shingled.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+    verified
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash over tokens with tf weights: per bit, vote +tf if the
+   * token hash has the bit set, −tf otherwise; fingerprint bit = sign. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Long](64)
+    tokens.groupBy(identity).foreach { case (tok, occ) =>
+      val h = hash64(tok)
+      val w = occ.size.toLong
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += w else votes(b) -= w
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash fingerprints as a column (map-only). */
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = udf((text: String) => simhash64(graft.analysis.Analyzer.analyze(text)))
+    df.select(col(idCol).as("id"), f(col(textCol)).as("simhash"))
+  }
+
+  /** Near-dup pairs by hamming ≤ maxDist, bucketing on 16-bit fingerprint
+   * chunks (a pair within distance d ≤ 3 shares at least one of 4 chunks —
+   * pigeonhole), so the join never goes all-pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val fp = withSimhash(df, idCol, textCol).cache()
+    val chunked = fp.select(col("id"), col("simhash"), posexplode(array(
+      (0 until 4).map(i => shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*
+    )).as(Seq("chunk", "chunkVal")))
+    val dist = udf((a: Long, b: Long) => hamming(a, b))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunkVal") === col("b.chunkVal") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.simhash").as("s1"), col("b.simhash").as("s2"))
+      .distinct()
+      .withColumn("dist", dist(col("s1"), col("s2")))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+
+  // ---- token-set Jaccard (exact, SQL-mirrorable) ---------------------------
+
+  /** Exact distinct-token-set Jaccard for all pairs within an id range —
+   * the verification primitive (and DuckDB-oracle query). Token sets move
+   * once; the pair join is bounded by the id filter. */
+  def tokenJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        maxId: Long, threshold: Double): DataFrame = {
+    val toks = df.filter(col(idCol) < maxId)
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(split(col(textCol), " ")).as("toks"))
+    toks.as("a").join(toks.as("b"), col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+
+/**
+ * Text-analysis operators for training-data pipelines: per-document quality
+ * statistics (pure column math — SQL-mirrorable), character-profile
+ * language ID, and content fingerprints.
+ */
+object TextAnalysis {
+
+  /** Small fixed stopword list shared with the SQL oracle. */
+  val STOPWORDS: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  /**
+   * Per-doc quality statistics, all native column math over the raw text:
+   * token count, distinct-token count, avg word length, stopword ratio,
+   * uniqueness ratio, and a clamped linear quality score (a deterministic
+   * proxy for the usual length/stopword/repetition heuristics).
+   */
+  def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nTokens = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    // occurrence count (not distinct) of stopwords
+    val nStop = size(filter(toks, t => array_contains(lit(STOPWORDS.toArray), t))).cast("double")
+    // Σ word lengths = chars − (tokens − 1) separators
+    val avgWordLen = (length(col(textCol)).cast("double") - (nTokens - 1)) / nTokens
+    val stopRatio = nStop / nTokens
+    val uniqRatio = nUniq / nTokens
+    val quality = least(lit(1.0), greatest(lit(0.0),
+      lit(0.3) + lit(0.5) * uniqRatio + lit(1.5) * stopRatio - lit(0.002) * abs(nTokens - 60)))
+    df.select(col(idCol).as("id"),
+      nTokens.cast("long").as("n_tokens"),
+      nUniq.cast("long").as("n_uniq"),
+      round(avgWordLen, 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stop_ratio"),
+      round(uniqRatio, 6).as("uniq_ratio"),
+      round(quality, 6).as("quality"))
+  }
+
+  // ---- language ID (character n-gram profile heuristic) --------------------
+
+  /** Tiny per-language marker profiles: frequent function words + diagnostic
+   * character n-grams. Deterministic scoring: Σ marker hits, normalized. */
+  private val PROFILES: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "th", "ing ", " you "),
+    "es" -> Seq(" el ", " la ", " de ", " que ", " los ", "ción", " es ", " un "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", "sch", " ein ", "ung "),
+    "fr" -> Seq(" le ", " la ", " les ", " des ", " est ", " une ", "eau", " qui "),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不", "人", "有"))
+
+  /** Predict the best-scoring language; ties broken lexicographically. */
+  def languageOf(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val padded = " " + text.toLowerCase + " "
+    val scores = PROFILES.map { case (lang, markers) =>
+      val hits = markers.map { m =>
+        var c = 0; var i = padded.indexOf(m)
+        while (i >= 0) { c += 1; i = padded.indexOf(m, i + 1) }
+        c
+      }.sum
+      (lang, hits.toDouble / math.max(1, padded.length))
+    }
+    val best = scores.maxBy { case (lang, s) => (s, lang) }
+    if (best._2 == 0.0) "und" else best._1
+  }
+
+  def withLanguage(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = udf(languageOf _)
+    df.select(col(idCol).as("id"), f(col(textCol)).as("lang_pred"))
+  }
+
+  // ---- fingerprints --------------------------------------------------------
+
+  /** Rolling polynomial 64-bit content hash over analyzed tokens — stable
+   * under whitespace/punctuation variation (the analyzer normalizes). */
+  def rollingFingerprint(text: String): Long = {
+    var h = 1125899906842597L
+    Analyzer.analyze(text).foreach { t =>
+      h = h * 31L + Dedup.hash64(t)
+    }
+    h
+  }
+
+  /** Normalization fingerprint: md5 of the space-joined analyzed tokens —
+   * equal iff two texts analyze identically. Column-level (SQL-mirrorable
+   * for already-normalized text). */
+  def normalizedFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = udf((t: String) => Analyzer.analyze(t).mkString(" "))
+    df.select(col(idCol).as("id"), md5(norm(col(textCol))).as("fingerprint"))
+  }
+
+  /** Approximate token count with a BPE-ish heuristic: alphanumeric runs
+   * count ceil(len/4) subtokens, every punctuation char counts 1 — the
+   * standard cheap estimator for LLM token budgeting. */
+  def approxLlmTokens(text: String): Long = {
+    if (text == null) return 0L
+    var count = 0L
+    var run = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetterOrDigit(c)) run += 1
+      else {
+        if (run > 0) { count += (run + 3) / 4; run = 0 }
+        if (!Character.isWhitespace(c)) count += 1
+      }
+      i += 1
+    }
+    if (run > 0) count += (run + 3) / 4
+    count
+  }
+
+  def withApproxTokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = udf(approxLlmTokens _)
+    df.select(col(idCol).as("id"), f(col(textCol)).as("approx_llm_tokens"))
+  }
+}
