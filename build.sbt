@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput GC: G1 on a large heap collapses under 32 allocating
+  // executor threads (measured 3x slower index builds than ParallelGC).
+  "-XX:+UseParallelGC", "-XX:NewRatio=1",
 )

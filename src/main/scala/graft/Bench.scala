@@ -47,7 +47,7 @@ object Bench {
     // 2. index-build throughput (turns/sec) over synthetic transcripts
     val turns = Transcripts.generate(spark, benchTurns / 8, 8)
     val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
-    val buildSec = time(IndexBuild.build(turns, idxDir, docsPerShard = math.max(benchTurns / (cpus.toInt * 4), 1000)))
+    val buildSec = time(IndexBuild.build(turns, idxDir, docsPerShard = math.max(benchTurns / (cpus.toInt * 4), 1000), inputSorted = true))
     val turnsPerSec = benchTurns / buildSec
 
     // 3. query latency p50/p95 on the built index (per topic-set run)

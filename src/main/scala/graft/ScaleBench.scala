@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 import graft.data.Transcripts
 import graft.index.IndexBuild
+import graft.model.Turn
 
 /**
  * Two-cluster-size scaling protocol (BASELINE.md): the same index build on
  * the same input at two local parallelism levels stands in for N vs 4N
- * executors. Run twice:
+ * executors. The transcripts table is materialized to parquet first
+ * (untimed — input always exists in the lake); the timed region is the full
+ * index build reading that table, including the id-assignment range shuffle
+ * (the general, unsorted-input path). Run:
  *
  *   SPARK_GRAFT_CPUS=8  SPARK_GRAFT_SHUFFLE=32  runMain graft.ScaleBench <turns>
  *   SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SHUFFLE=128 runMain graft.ScaleBench <turns>
@@ -20,22 +24,49 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val turnsTotal = if (args.nonEmpty) args(0).toLong else 2000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (cpus * 4).toString).toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", shuffle)
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
+    // honor a master provided by spark-submit (e.g. local-cluster[N,c,m] for
+    // real multi-executor JVMs); fall back to local[cpus] under sbt
+    val builder = SparkSession.builder()
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val withMaster =
+      if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[$cpus]")
+    val spark = shuffle.fold(withMaster)(s => withMaster.config("spark.sql.shuffle.partitions", s))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val master = spark.sparkContext.master
+    val parallelism = spark.sparkContext.defaultParallelism
 
-    val turns = Transcripts.generate(spark, turnsTotal / 8, 8, partitions = shuffle)
+    if (sys.env.contains("SPARK_GRAFT_STAGELOG")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val ms = i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)
+          val m = i.taskMetrics
+          System.err.println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%4d wall=${ms / 1000.0}%8.2fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%8.1fs run=${m.executorRunTime / 1e3}%8.1fs " +
+            f"gc=${m.jvmGCTime / 1e3}%6.1fs ${i.name.take(60)}")
+        }
+      })
+    }
+
+    // untimed: materialize the input table (fixed seed, fixed row count)
+    val inputDir = s"/tmp/graft-scale-input-$turnsTotal"
+    if (!new java.io.File(s"$inputDir/_SUCCESS").exists()) {
+      Transcripts.generate(spark, turnsTotal / 8, 8, partitions = 128)
+        .write.mode("overwrite").parquet(inputDir)
+    }
+    val turns = spark.read.parquet(inputDir).as[Turn]
+
     val idxDir = java.nio.file.Files.createTempDirectory(s"graft-scale-$cpus").toString
     val t0 = System.nanoTime()
-    IndexBuild.build(turns, idxDir, docsPerShard = math.max(turnsTotal / shuffle, 1000))
+    IndexBuild.build(turns, idxDir, docsPerShard = 16384)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"bench":"scale","cpus":$cpus,"shuffle_partitions":$shuffle,"turns":$turnsTotal,"sec":$sec,"turns_per_sec":${turnsTotal / sec}}""")
+    println(s"""{"bench":"scale","master":"$master","parallelism":$parallelism,"shuffle_partitions":${spark.sessionState.conf.numShufflePartitions},"turns":$turnsTotal,"sec":$sec,"turns_per_sec":${turnsTotal / sec}}""")
     spark.stop()
   }
 }

@@ -47,21 +47,23 @@ object Analyzer {
   private def isMidNum(cp: Int): Boolean =
     cp == ',' || cp == ':' || cp == '.'
 
-  /** Tokenize without any filtering: maximal alphanumeric runs with retained
-   * mid-token punctuation. Deterministic, null-safe (null → empty). */
-  def tokenize(text: String): Seq[String] = {
-    if (text == null || text.isEmpty) return Nil
-    val out = Vector.newBuilder[String]
+  /** Core word-break: invoke `f(start, end)` (char offsets, end exclusive)
+   * for every token range. Allocation-free — the single implementation
+   * behind both the allocating [[tokenize]] and the zero-alloc index-build
+   * counter ([[graft.index.TokenCounter]]), so their token streams are
+   * identical by construction. */
+  def foreachTokenRange(text: String)(f: (Int, Int) => Unit): Unit = {
+    if (text == null || text.isEmpty) return
     val n = text.length
     var i = 0
-    val sb = new java.lang.StringBuilder(16)
+    var start = -1
     while (i < n) {
       val cp = text.codePointAt(i)
       val w = Character.charCount(cp)
       if (isWordChar(cp)) {
-        sb.appendCodePoint(cp)
+        if (start < 0) start = i
         i += w
-      } else if (sb.length() > 0 && i + w < n) {
+      } else if (start >= 0 && i + w < n) {
         // candidate mid-token char: look at the next code point
         val next = text.codePointAt(i + w)
         val prevDigit = Character.isDigit(text.codePointBefore(i))
@@ -70,15 +72,42 @@ object Analyzer {
             if (prevDigit && Character.isDigit(next)) isMidNum(cp) || isMidLetter(cp)
             else isMidLetter(cp)
           } else false
-        if (keep) { sb.appendCodePoint(cp); i += w }
-        else { out += sb.toString; sb.setLength(0); i += w }
+        if (!keep) { f(start, i); start = -1 }
+        i += w
       } else {
-        if (sb.length() > 0) { out += sb.toString; sb.setLength(0) }
+        if (start >= 0) { f(start, i); start = -1 }
         i += w
       }
     }
-    if (sb.length() > 0) out += sb.toString
+    if (start >= 0) f(start, n)
+  }
+
+  /** Per-codepoint lowercase of a token range (Lucene's LowerCaseFilter
+   * semantics — codepoint-wise, not locale-sensitive full-string casing). */
+  def lowercased(text: String, start: Int, end: Int): String = {
+    val sb = new java.lang.StringBuilder(end - start)
+    var i = start
+    while (i < end) {
+      val cp = text.codePointAt(i)
+      sb.appendCodePoint(Character.toLowerCase(cp))
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** Tokenize without any filtering: maximal alphanumeric runs with retained
+   * mid-token punctuation. Deterministic, null-safe (null → empty). */
+  def tokenize(text: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    foreachTokenRange(text)((s, e) => out += text.substring(s, e))
     out.result()
+  }
+
+  /** Zero-allocation analyzed-token count (== analyze(text, NoStem).size). */
+  def countTokens(text: String): Int = {
+    var c = 0
+    foreachTokenRange(text)((_, _) => c += 1)
+    c
   }
 
   /** Strip English possessive suffix `'s` / `’s` (reference chain component
@@ -93,10 +122,11 @@ object Analyzer {
 
   /** Full analysis chain for a tag: tokenize → lowercase → (possessive). */
   def analyze(text: String, tag: Tag = Tag.NoStem): Seq[String] = {
-    val base = tokenize(text).map(_.toLowerCase(Locale.ROOT))
+    val base = Vector.newBuilder[String]
+    foreachTokenRange(text)((s, e) => base += lowercased(text, s, e))
     tag match {
-      case Tag.NoStem           => base
-      case Tag.NoStemPossessive => base.map(stripPossessive).filter(_.nonEmpty)
+      case Tag.NoStem           => base.result()
+      case Tag.NoStemPossessive => base.result().map(stripPossessive).filter(_.nonEmpty)
     }
   }
 

@@ -15,6 +15,52 @@ object Codec {
 
   val BLOCK_SIZE = 128
 
+  /** Reusable growable varint scratch buffer (unsynchronized, task-local) —
+   * block encoding copies once into a right-sized output array instead of
+   * churning ByteArrayOutputStreams. */
+  final class Scratch(initial: Int = 4096) {
+    private var buf = new Array[Byte](initial)
+    private var len = 0
+    def reset(): Unit = len = 0
+    @inline private def ensure(extra: Int): Unit =
+      if (len + extra > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + extra))
+    @inline def writeVarLong(value: Long): Unit = {
+      ensure(10)
+      var v = value
+      while ((v & ~0x7FL) != 0L) { buf(len) = ((v & 0x7F) | 0x80).toByte; len += 1; v >>>= 7 }
+      buf(len) = v.toByte; len += 1
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** Delta+varint encode a slice of sorted docIds into a fresh array via a
+   * reusable scratch. */
+  def encodeDeltasInto(src: Array[Long], from: Int, until: Int, s: Scratch): Array[Byte] = {
+    s.reset()
+    var prev = 0L
+    var i = from
+    while (i < until) {
+      val d = src(i) - prev
+      require(d >= 0, s"docIds must be sorted ascending (gap $d)")
+      s.writeVarLong(d)
+      prev = src(i)
+      i += 1
+    }
+    s.toArray
+  }
+
+  /** Varint encode a slice of values as (v-1) via a reusable scratch. */
+  def encodeMinus1Into(src: Array[Long], from: Int, until: Int, s: Scratch): Array[Byte] = {
+    s.reset()
+    var i = from
+    while (i < until) {
+      require(src(i) >= 1, "value must be >= 1")
+      s.writeVarLong(src(i) - 1)
+      i += 1
+    }
+    s.toArray
+  }
+
   /** Unsigned LEB128 varint append. */
   private def writeVarLong(buf: java.io.ByteArrayOutputStream, value: Long): Unit = {
     var v = value

@@ -22,12 +22,29 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object DenseIds {
 
   /** Append `idName: long` numbering rows 0..n-1 in ascending order of the
-   * given columns. */
-  def assign(df: DataFrame, idName: String, order: Column*): DataFrame = {
+   * given columns.
+   *
+   * @param assumeSorted input partitions already hold contiguous, globally
+   *   ordered ranges of the key (e.g. an Iceberg table cluster-sorted by the
+   *   stable turn ordering) — skips the range shuffle entirely; rows are
+   *   only locally sorted (a no-op pass on truly sorted data).
+   */
+  def assign(df: DataFrame, idName: String, order: Column*): DataFrame =
+    assign(df, idName, assumeSorted = false, order: _*)
+
+  def assign(df: DataFrame, idName: String, assumeSorted: Boolean, order: Column*): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
+    val ranged0 =
+      (if (assumeSorted) df else df.repartitionByRange(parts, order: _*))
+        .sortWithinPartitions(order: _*)
+    // Unsorted input: persist the post-shuffle frame so zipWithIndex's count
+    // pass and every downstream consumer pay the range shuffle exactly once.
+    // DISK_ONLY: cached rows stay out of the GC'd heap; re-reads hit the
+    // OS page cache. Sorted input: recompute is a narrow re-read — cheaper
+    // than caching.
+    val ranged = if (assumeSorted) ranged0
+      else ranged0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
     val withId = ranged.rdd.zipWithIndex().map { case (row, id) =>
       Row.fromSeq(row.toSeq :+ id)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analysis.Analyzer
-import graft.model.{CorpusStats, PostingBlock, Turn}
+import graft.model.{CorpusStats, DocEntry, PostingBlock, Turn}
 
 /**
  * Resumable index build (SURVEY.md §7.2/§7.5, north rule: "resumable from
@@ -14,36 +14,40 @@ import graft.model.{CorpusStats, PostingBlock, Turn}
  * On-disk layout under `indexDir/`:
  * {{{
  *   docs/        docId, docIdNum, docLen        (+ _SUCCESS)
- *   dict/        term, termId, df, cf           (+ _SUCCESS)
  *   postings/    shard=K/ *.parquet  PostingBlock rows, partitioned by shard
+ *   dict/        term, termId, df, cf           (+ _SUCCESS; derived from
+ *                                                block metadata — no extra
+ *                                                pass over the corpus)
  *   manifest/    per-shard lineage + metrics rows, appended per wave
- *   stats.json   {numDocs, numTokens}
  * }}}
  *
- * Stage gating: `docs` and `dict` are atomic stage checkpoints (skipped when
- * their `_SUCCESS` marker exists). The `postings` stage is checkpointed at
- * *shard* granularity: shards are written in waves; on restart, shards
- * already present on disk are skipped and only the remainder is planned —
- * the §5.5 kill-resume contract. Each completed shard appends a manifest
- * row `(shard, wave, nBlocks, nPostings, sumTf, nTerms, wallMs)`
- * (df/cf/doclen metrics + lineage per partition).
+ * Stage pipeline (each stage skipped when already committed):
+ *  1. `docs` — one tokenize pass for (docId, docIdNum, docLen).
+ *  2. `postings` — the fused segment build ([[PostingsBuilder.buildSegments]]):
+ *     tokenize + in-memory inversion + block compression in ONE
+ *     mapPartitions, zero shuffles on sorted input. Checkpointed at *shard*
+ *     granularity: shards are written in waves; a restart lists committed
+ *     shards on disk and plans only the remainder (§5.5 kill-resume).
+ *     Each wave appends manifest rows
+ *     `(shard, wave, nBlocks, nPostings, nTerms, sumMaxTf, wallMs)`.
+ *  3. `dict` — (term, df, cf) aggregated from block metadata (`n`, `sumTf`)
+ *     + dense term-ordered termIds.
  *
- * Reference analog of the whole stage pipeline: `Indexer.indexWithThreads`
+ * Reference analog: `Indexer.indexWithThreads`
  * (`/root/reference/src/main/java/edu/anadolu/Indexer.java:567-654`) —
- * file-level tasks → RAM-buffered segment build → background merges; here
- * partition-level tasks → sort-shuffle → per-shard block files.
+ * file-level tasks → RAM-buffered segment build; here partition-level tasks
+ * → per-shard block files, with the merge made unnecessary by disjoint
+ * doc-range sharding.
  */
 object IndexBuild {
 
   final case class Index(docs: DataFrame, dict: DataFrame,
                          blocks: Dataset[PostingBlock], stats: CorpusStats) {
     /** Denormalized exact-path posting source (docId string key). */
-    def termDocs: DataFrame = {
-      val decoded = PostingsBuilder.decodeBlocks(blocks)
-      decoded.join(docs.select("docIdNum", "docId"), "docIdNum")
-        .join(dict.select("termId", "term"), "termId")
+    def termDocs: DataFrame =
+      PostingsBuilder.decodeBlocks(blocks)
+        .join(docs.select("docIdNum", "docId"), "docIdNum")
         .select("docId", "docLen", "term", "tf")
-    }
   }
 
   private def fs(spark: SparkSession, dir: String) =
@@ -74,70 +78,77 @@ object IndexBuild {
   /**
    * Build (or resume) the full index.
    *
-   * @param docsPerShard documents per posting shard (doc-range partitioning)
+   * @param docsPerShard documents per posting shard (doc-range partitioning;
+   *   also the segment-flush granularity bounding task memory)
    * @param waves number of atomic write jobs the remaining shards are split
-   *              into (1 = single job; >1 exercises finer checkpoints)
+   *   into (1 = single job; >1 exercises finer checkpoints)
    * @param failAfterWave fault injection: throw after this wave commits
+   * @param inputSorted the turns table is already cluster-sorted by the
+   *   stable turn ordering with docId-string-ordered partitions (true for
+   *   the generator / a sorted lake table) — the build then runs with ZERO
+   *   full-data shuffles
    */
   def build(turns: Dataset[Turn], indexDir: String,
             tag: Analyzer.Tag = Analyzer.Tag.NoStem,
             docsPerShard: Long = 1 << 20,
             waves: Int = 1,
-            failAfterWave: Int = -1): Index = {
+            failAfterWave: Int = -1,
+            inputSorted: Boolean = false): Index = {
     val spark = turns.sparkSession
+    import spark.implicits._
     val docsDir = s"$indexDir/docs"
     val dictDir = s"$indexDir/dict"
     val postingsDir = s"$indexDir/postings"
     val manifestDir = s"$indexDir/manifest"
 
-    // -- stage 1: docs (docId, docIdNum, docLen); ids dense in docId order --
+    // DenseIds persists its post-shuffle frame internally for unsorted
+    // input, so every pass below pays the range shuffle at most once.
+    lazy val turnsWithId: DataFrame = DenseIds.assign(
+      turns.toDF().select(
+        concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+        col("text")),
+      "docIdNum", assumeSorted = inputSorted, col("docId"))
+
+    // -- stage 1: docs (docId, docIdNum, docLen), one zero-alloc count pass --
     if (!stageDone(spark, docsDir)) {
-      val d = Tokenize.docs(turns, tag)
-      DenseIds.assign(d, "docIdNum", col("docId"))
+      turnsWithId.select("docId", "docIdNum", "text").as[(String, Long, String)]
+        .mapPartitions(_.map { case (docId, num, text) =>
+          val dl =
+            if (tag == Analyzer.Tag.NoStem) Analyzer.countTokens(text).toLong
+            else Analyzer.analyze(text, tag).size.toLong
+          DocEntry(docId, num, dl)
+        })
         .write.mode("overwrite").parquet(docsDir)
     }
     val docs = spark.read.parquet(docsDir)
 
-    // -- stage 2: dict (term, termId, df, cf) --
-    val termDocs = Tokenize.termDocs(turns, tag)
-    if (!stageDone(spark, dictDir)) {
-      Dictionary.withIds(Dictionary.termStats(termDocs))
-        .write.mode("overwrite").parquet(dictDir)
-    }
-    val dict = spark.read.parquet(dictDir)
-
-    // -- stage 3: postings, shard-granular resume --
     val statsRow = docs.agg(count(lit(1)), coalesce(sum("docLen"), lit(0L))).head()
     val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
+
+    // -- stage 2: postings via fused segment build, shard-granular resume --
     val numShards = math.max(1, ((stats.numDocs + docsPerShard - 1) / docsPerShard).toInt)
     val done = completedShards(spark, postingsDir)
     val todo = (0 until numShards).filterNot(done)
 
     if (todo.nonEmpty) {
-      // one shuffle join each to attach docIdNum and termId, then shard
-      val termDocsNum = termDocs
-        .join(docs.select("docId", "docIdNum"), "docId")
-        .join(dict.select("term", "termId"), "term")
-        .select("docIdNum", "docLen", "termId", "tf")
-
       val groups = {
         val per = math.max(1, math.ceil(todo.size.toDouble / math.max(1, waves)).toInt)
         todo.grouped(per).toSeq
       }
       groups.zipWithIndex.foreach { case (shardGroup, wave) =>
         val t0 = System.nanoTime()
-        val blocks = PostingsBuilder.buildBlocks(
-            termDocsNum.filter((col("docIdNum") / docsPerShard).cast("int").isin(shardGroup: _*)),
-            docsPerShard)
-        blocks.toDF()
+        val groupSet = shardGroup.toSet
+        PostingsBuilder.buildSegments(turnsWithId, tag, docsPerShard,
+            shardFilter = groupSet.contains)
+          .toDF()
           .write.mode("append").partitionBy("shard").parquet(postingsDir)
-        // per-shard lineage + metrics from what was just written
+        // per-shard lineage + metrics from the blocks just committed
         val wallMs = (System.nanoTime() - t0) / 1000000L
         spark.read.parquet(postingsDir)
           .filter(col("shard").isin(shardGroup: _*))
           .groupBy("shard")
           .agg(count(lit(1)).as("nBlocks"), sum("n").as("nPostings"),
-            countDistinct("termId").as("nTerms"), sum("maxTf").as("sumMaxTf"))
+            countDistinct("term").as("nTerms"), sum("maxTf").as("sumMaxTf"))
           .withColumn("wave", lit(wave))
           .withColumn("wallMs", lit(wallMs))
           .write.mode("append").parquet(manifestDir)
@@ -149,7 +160,18 @@ object IndexBuild {
     val f = fs(spark, postingsDir)
     f.create(new Path(s"$postingsDir/_GRAFT_COMPLETE"), true).close()
 
-    import spark.implicits._
+
+
+    // -- stage 3: dict from block metadata (no corpus pass) --
+    if (!stageDone(spark, dictDir)) {
+      val termStats = spark.read.parquet(postingsDir)
+        .groupBy("term")
+        .agg(sum("n").as("df"), sum("sumTf").as("cf"))
+      Dictionary.withIds(termStats)
+        .write.mode("overwrite").parquet(dictDir)
+    }
+    val dict = spark.read.parquet(dictDir)
+
     Index(docs, dict, spark.read.parquet(postingsDir).as[PostingBlock], stats)
   }
 

@@ -1,96 +1,182 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.analysis.Analyzer
 import graft.model.PostingBlock
 
 /**
  * Posting-list construction (SURVEY.md §7.2, north rule core).
  *
- * Layout decision — **document-sharded index**: postings are partitioned by
- * contiguous ranges of the dense numeric docId (`shard = docIdNum /
- * docsPerShard`) and, within a shard, stored as sorted (termId, docIdNum)
- * runs cut into ≤128-posting compressed blocks. This is the classic
- * distributed-IR sharding and kills the hot-term skew problem by
- * construction: a stopword's postings spread uniformly across shards, so no
- * single task ever owns a full stopword posting list (the explicit skew
- * handling the north rule demands — doc-range salting rather than random
- * salting, which would break ascending-docId block order).
+ * **Fused segment build**: one `mapPartitions` pass over id-carrying turns
+ * tokenizes each document and inverts it into in-memory per-term posting
+ * builders — exactly Lucene's RAM-buffered segment inversion
+ * (`/root/reference/src/main/java/edu/anadolu/Indexer.java:567-654`), with a
+ * Spark partition playing the segment role. The segment flushes at every
+ * shard boundary (`shard = docIdNum / docsPerShard`), bounding task memory
+ * to one shard's postings regardless of input size, and emits ≤`blockSize`
+ * delta+varint compressed blocks sorted by term (→ parquet row-group stats
+ * prune query scans by term).
  *
- * Reference analog: Lucene's per-segment postings + skip lists
- * (`Indexer.java:567-654` builds segments; a shard here = a segment there),
- * with block-max metadata made explicit per block for WAND
- * (maxTf, minDocLen → model-agnostic score upper bound).
+ * Scale properties:
+ *  - ZERO shuffles when ids ride along sorted input partitions — the
+ *    "merge" of the classic build is unnecessary because doc ranges are
+ *    disjoint by construction (document-sharded index).
+ *  - Hot-term skew is structural: a stopword's postings split across every
+ *    shard; no task ever owns a full stopword posting list.
+ *  - No per-token Catalyst boundary: tokenization and inversion run in
+ *    plain JVM code; only finished blocks cross into Tungsten.
  *
- * Build plan shape: ONE shuffle of the token stream (hash on shard), then a
- * partition-local sort and a streaming block cut — the same sorted-runs
- * merge-sort shape as Lucene's RAM-buffered segment build + merge
- * (`Indexer.java:577-583`), expressed as Spark's sort-shuffle.
+ * Blocks key by the term STRING (parquet dictionary-encodes it; a numeric
+ * termId would force a vocabulary-sized join into the build for ~no storage
+ * win). Per-(shard, term) blockNos restart at partition boundaries — readers
+ * order blocks by minDoc.
  */
 object PostingsBuilder {
 
-  /**
-   * termDocsNum: (docIdNum long, docLen long, termId long, tf long).
-   * Emits compressed blocks per (shard, termId).
-   */
-  def buildBlocks(termDocsNum: DataFrame, docsPerShard: Long,
-                  blockSize: Int = Codec.BLOCK_SIZE): Dataset[PostingBlock] = {
-    val spark = termDocsNum.sparkSession
-    import spark.implicits._
+  val BLOCK_SIZE: Int = Codec.BLOCK_SIZE
 
-    val sharded = termDocsNum
-      .withColumn("shard", (col("docIdNum") / docsPerShard).cast("int"))
-      .select("shard", "termId", "docIdNum", "tf", "docLen")
-      .repartition(col("shard"))
-      .sortWithinPartitions("shard", "termId", "docIdNum")
-      .as[(Int, Long, Long, Long, Long)]
+  /** Mutable long cell (avoids java.lang.Long boxing churn per token). */
+  private object long2 { final class LongBox(var v: Long) }
 
-    sharded.mapPartitions { it =>
-      new Iterator[PostingBlock] {
-        private val buf = it.buffered
-        private var pending: List[PostingBlock] = Nil
-
-        private def cutRun(): Unit = {
-          if (!buf.hasNext) return
-          val (shard, termId, _, _, _) = buf.head
-          val docs = Array.newBuilder[Long]
-          val tfs = Array.newBuilder[Long]
-          val dls = Array.newBuilder[Long]
-          var n = 0
-          val blocks = List.newBuilder[PostingBlock]
-          var blockNo = 0
-          def flush(): Unit = if (n > 0) {
-            val d = docs.result(); val t = tfs.result(); val l = dls.result()
-            blocks += PostingBlock(shard, termId, blockNo, n,
-              d.head, d.last, t.max, l.min,
-              Codec.encodeDeltas(d), Codec.encodeTfs(t), Codec.encodeTfs(l))
-            blockNo += 1
-            docs.clear(); tfs.clear(); dls.clear(); n = 0
-          }
-          while (buf.hasNext && buf.head._1 == shard && buf.head._2 == termId) {
-            val (_, _, docIdNum, tf, docLen) = buf.next()
-            docs += docIdNum; tfs += tf; dls += docLen
-            n += 1
-            if (n == blockSize) flush()
-          }
-          flush()
-          pending = blocks.result()
-        }
-
-        def hasNext: Boolean = pending.nonEmpty || buf.hasNext
-        def next(): PostingBlock = {
-          if (pending.isEmpty) cutRun()
-          val h = pending.head
-          pending = pending.tail
-          h
-        }
+  /** Growable posting-list builder for one term within one shard. Buffers
+   * are REUSED across shard flushes (reset, not reallocated) — per-task
+   * steady-state memory is one max-shard's postings and the allocation rate
+   * stays flat regardless of corpus size (GC was half of task time before). */
+  private final class TermPostings {
+    var docs = new Array[Long](8)
+    var tfs = new Array[Long](8)
+    var dls = new Array[Long](8)
+    var n = 0
+    def add(doc: Long, tf: Long, dl: Long): Unit = {
+      if (n == docs.length) {
+        val cap = n * 2
+        docs = java.util.Arrays.copyOf(docs, cap)
+        tfs = java.util.Arrays.copyOf(tfs, cap)
+        dls = java.util.Arrays.copyOf(dls, cap)
       }
+      docs(n) = doc; tfs(n) = tf; dls(n) = dl; n += 1
+    }
+    def reset(): Unit = n = 0
+  }
+
+  /** Cut one term's accumulated postings into compressed blocks — only the
+   * three final byte arrays per block are allocated (scratch reused). */
+  private def cut(shard: Int, term: String, tp: TermPostings, blockSize: Int,
+                  scratch: Codec.Scratch, out: scala.collection.mutable.ArrayBuffer[PostingBlock]): Unit = {
+    var start = 0
+    var blockNo = 0
+    while (start < tp.n) {
+      val end = math.min(start + blockSize, tp.n)
+      var maxTf = 0L; var sumTf = 0L; var minDl = Long.MaxValue
+      var i = start
+      while (i < end) {
+        val tf = tp.tfs(i)
+        if (tf > maxTf) maxTf = tf
+        sumTf += tf
+        if (tp.dls(i) < minDl) minDl = tp.dls(i)
+        i += 1
+      }
+      out += PostingBlock(shard, term, blockNo, end - start,
+        tp.docs(start), tp.docs(end - 1), maxTf, sumTf, minDl,
+        Codec.encodeDeltasInto(tp.docs, start, end, scratch),
+        Codec.encodeMinus1Into(tp.tfs, start, end, scratch),
+        Codec.encodeMinus1Into(tp.dls, start, end, scratch))
+      start = end
+      blockNo += 1
     }
   }
 
-  /** Expand blocks back to (shard, termId, docIdNum, tf, docLen) rows —
-   * the decode side of the codec, used by the exact-over-blocks path and by
+  /**
+   * turnsWithId: (docId string, docIdNum long, text string), docIdNum
+   * ascending within each partition. Emits compressed blocks.
+   */
+  def buildSegments(turnsWithId: DataFrame, tag: Analyzer.Tag,
+                    docsPerShard: Long,
+                    blockSize: Int = Codec.BLOCK_SIZE,
+                    shardFilter: Int => Boolean = _ => true): Dataset[PostingBlock] = {
+    val spark = turnsWithId.sparkSession
+    import spark.implicits._
+
+    turnsWithId.select("docIdNum", "text").as[(Long, String)]
+      .mapPartitions { it =>
+        new Iterator[PostingBlock] {
+          private val open = new java.util.HashMap[String, TermPostings]()
+          private val counter = new TokenCounter() // zero-alloc NoStem fast path
+          private val fastPath = tag == Analyzer.Tag.NoStem
+          private val scratch = new Codec.Scratch()
+          private var openShard = -1
+          private var flushed: Iterator[PostingBlock] = Iterator.empty
+
+          private def flush(): Iterator[PostingBlock] = {
+            if (open.isEmpty) return Iterator.empty
+            val terms = new java.util.ArrayList(open.keySet())
+            java.util.Collections.sort(terms) // term-sorted → row-group pruning
+            val shard = openShard
+            val out = new scala.collection.mutable.ArrayBuffer[PostingBlock]()
+            terms.forEach { term =>
+              val tp = open.get(term)
+              if (tp.n > 0) {
+                cut(shard, term, tp, blockSize, scratch, out)
+                tp.reset() // keep buffers — reused by the next shard
+              }
+            }
+            out.iterator
+          }
+
+          private def advance(): Unit = {
+            while (!flushed.hasNext && it.hasNext) {
+              val (docIdNum, text) = it.next()
+              val shard = (docIdNum / docsPerShard).toInt
+              if (shard != openShard) {
+                val f = flush()
+                openShard = shard
+                if (f.hasNext) { flushed = f; addDoc(docIdNum, shard, text); return }
+              }
+              addDoc(docIdNum, shard, text)
+            }
+            if (!flushed.hasNext && !it.hasNext) flushed = flush()
+          }
+
+          private def addDoc(docIdNum: Long, shard: Int, text: String): Unit = {
+            if (!shardFilter(shard)) return
+            if (fastPath) {
+              val dl = counter.countDoc(text)
+              if (dl == 0) return
+              counter.foreachTf { (term, tf) =>
+                var tp = open.get(term)
+                if (tp == null) { tp = new TermPostings; open.put(term, tp) }
+                tp.add(docIdNum, tf, dl)
+              }
+            } else {
+              val toks = Analyzer.analyze(text, tag)
+              if (toks.isEmpty) return
+              val tfm = new java.util.HashMap[String, long2.LongBox]()
+              toks.foreach { t =>
+                val box = tfm.get(t)
+                if (box == null) tfm.put(t, new long2.LongBox(1L)) else box.v += 1L
+              }
+              val dl = toks.size.toLong
+              tfm.forEach { (term, box) =>
+                var tp = open.get(term)
+                if (tp == null) { tp = new TermPostings; open.put(term, tp) }
+                tp.add(docIdNum, box.v, dl)
+              }
+            }
+          }
+
+          def hasNext: Boolean = {
+            if (!flushed.hasNext) advance()
+            flushed.hasNext
+          }
+          def next(): PostingBlock = { if (!hasNext) throw new NoSuchElementException; flushed.next() }
+        }
+      }
+  }
+
+  /** Expand blocks back to (shard, term, docIdNum, tf, docLen) rows — the
+   * decode side of the codec, used by the exact-over-blocks path and by
    * round-trip tests. */
   def decodeBlocks(blocks: Dataset[PostingBlock]): DataFrame = {
     val spark = blocks.sparkSession
@@ -99,7 +185,7 @@ object PostingsBuilder {
       val d = Codec.decodeDeltas(b.docBytes, b.n)
       val t = Codec.decodeTfs(b.tfBytes, b.n)
       val l = Codec.decodeTfs(b.dlBytes, b.n)
-      Iterator.tabulate(b.n)(i => (b.shard, b.termId, d(i), t(i), l(i)))
-    }.toDF("shard", "termId", "docIdNum", "tf", "docLen")
+      Iterator.tabulate(b.n)(i => (b.shard, b.term, d(i), t(i), l(i)))
+    }.toDF("shard", "term", "docIdNum", "tf", "docLen")
   }
 }

@@ -60,12 +60,13 @@ final case class RunRow(qid: Int, docId: String, rank: Int, score: Float, tag: S
  */
 final case class PostingBlock(
     shard: Int,        // document shard (docIdNum range) this block belongs to
-    termId: Long,
-    blockNo: Int,      // ordinal within (shard, termId), ascending docId ranges
+    term: String,      // parquet dictionary-encodes; row-group stats prune scans
+    blockNo: Int,      // ordinal within (shard, term) — readers order by minDoc
     n: Int,            // number of postings in this block
     minDoc: Long,      // first (numeric) docId in block
     maxDoc: Long,      // last (numeric) docId in block
     maxTf: Long,       // max term frequency within block
+    sumTf: Long,       // Σ tf within block (dict cf derives from block metadata)
     minDocLen: Long,   // min docLen within block (tightens the BM25 upper bound)
     docBytes: Array[Byte],  // delta+varint docIdNums
     tfBytes: Array[Byte],   // varint (tf-1)

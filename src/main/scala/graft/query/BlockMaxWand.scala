@@ -202,15 +202,14 @@ object BlockMaxWand {
     val termSet = qterms.map(_._2).distinct
     val dictRows = index.dict
       .filter(col("term").isin(termSet: _*))
-      .select("term", "termId", "df", "cf")
+      .select("term", "df", "cf")
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
-    val termIds = dictRows.values.map(_._1).toSeq
-    // qid → Seq[(termId, mult, df, cf)]
-    val plan: Map[Int, Seq[(Long, Int, Long, Long)]] = qterms
+    // qid → Seq[(term, mult, df, cf)]
+    val plan: Map[Int, Seq[(String, Int, Long, Long)]] = qterms
       .flatMap { case (qid, term, mult, _) =>
-        dictRows.get(term).map { case (tid, df, cf) => qid -> (tid, mult, df, cf) }
+        dictRows.get(term).map { case (df, cf) => qid -> (term, mult, df, cf) }
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val bPlan = spark.sparkContext.broadcast(plan)
@@ -218,15 +217,17 @@ object BlockMaxWand {
     val nTokens = index.stats.numTokens.toDouble
 
     val candidates = index.blocks
-      .filter(col("termId").isin(termIds: _*))
+      .filter(col("term").isin(termSet: _*)) // parquet row-group stats prune
       .as[PostingBlock]
       .groupByKey(_.shard)
       .flatMapGroups { (_, it) =>
-        val byTerm = it.toArray.groupBy(_.termId)
-          .view.mapValues(_.sortBy(_.blockNo)).toMap
+        // order blocks by doc range, NOT blockNo — a shard straddling a
+        // build-partition boundary has two block runs with repeated blockNos
+        val byTerm = it.toArray.groupBy(_.term)
+          .view.mapValues(_.sortBy(_.minDoc)).toMap
         bPlan.value.iterator.flatMap { case (qid, terms) =>
-          val streams = terms.flatMap { case (tid, mult, df, cf) =>
-            byTerm.get(tid).map { blocks =>
+          val streams = terms.flatMap { case (term, mult, df, cf) =>
+            byTerm.get(term).map { blocks =>
               val ub: PostingBlock => Double = b =>
                 math.max(0d, perTerm(model.score(b.maxTf.toDouble, b.minDocLen,
                   nTokens / nDocs, 1.0, df.toDouble, cf.toDouble,

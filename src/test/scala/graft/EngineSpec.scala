@@ -129,6 +129,21 @@ class EngineSpec extends AnyFunSuite {
       Set("shard", "nBlocks", "nPostings", "nTerms", "sumMaxTf", "wave", "wallMs"))
   }
 
+  test("zero-shuffle sorted build (inputSorted=true) produces an identical index") {
+    val dir = Files.createTempDirectory("graft-sorted").toString
+    IndexBuild.build(turns, dir, docsPerShard = 100, inputSorted = true)
+    def fp(d: String) = IndexBuild.load(spark, d).termDocs
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).sorted.toSeq
+    assert(fp(dir) == fp(indexDir))
+    // and BMW over the sorted-build index stays rank-identical to the oracle
+    val got = BlockMaxWand.search(IndexBuild.load(spark, dir), topics, model, K,
+        sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    val want = Oracle.topk(turnsLocal, topics, model, K, SENT).sortBy(t => (t._1, t._3))
+    assert(got.toSeq == want)
+  }
+
   test("TF histogram (Spark column math) == scalar Scala loop") {
     val bins = 10
     val terms = Seq("w0", "w5", "needle0")
