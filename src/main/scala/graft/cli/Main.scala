@@ -1,0 +1,111 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.data.{Transcripts, Trec}
+import graft.index.IndexBuild
+import graft.model.{Topic, Turn}
+import graft.query.{BlockMaxWand, Exact, Scoring}
+
+/**
+ * spark-submit entry point (north rule: "launched via spark-submit";
+ * reference analog: `run.sh → edu.anadolu.cmdline.CLI`, `CLI.java:22-130`).
+ *
+ * {{{
+ * spark-submit --class graft.cli.Main <jar> index  --input <turns.parquet> --out <indexDir> [--docs-per-shard N] [--waves N] [--sorted] [--tag NoStem]
+ * spark-submit --class graft.cli.Main <jar> search --index <dir> --topics <file> [--format tsv|wt|tt|mq] [--model BM25k0.9b0.4] [--k 1000] [--path bmw|exact] [--out runFile] [--sentinel id]
+ * spark-submit --class graft.cli.Main <jar> stats  --index <dir> [--terms a,b,c] --out <dir>
+ * spark-submit --class graft.cli.Main <jar> generate --turns N --out <turns.parquet>
+ * }}}
+ */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap ++ args.filter(a => a == "--sorted").map(_ -> "true").toMap
+
+  private def loadTopics(path: String, format: String): Seq[Topic] = {
+    val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
+    format match {
+      case "wt" => Trec.parseTopicsWT(lines)
+      case "tt" => Trec.parseTopicsTT(lines)
+      case "mq" => Trec.parseTopicsMQ(lines)
+      case _ => lines.filter(_.trim.nonEmpty).map { l =>
+        val Array(qid, q) = l.split("\t", 2)
+        Topic(qid.trim.toInt, q.trim)
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "subcommand required: index | search | stats | generate")
+    val cmd = args.head
+    val opt = parseArgs(args.tail)
+
+    val builder = SparkSession.builder()
+      .appName(s"graft-$cmd")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark =
+      (if (sys.props.contains("spark.master")) builder
+       else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "*")}]"))
+        .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tag = Analyzer.Tag.of(opt.getOrElse("tag", "NoStem"))
+
+    cmd match {
+      case "generate" =>
+        val turns = opt("turns").toLong
+        Transcripts.generate(spark, turns / 8, 8)
+          .write.mode("overwrite").parquet(opt("out"))
+        println(s"""{"generated":$turns,"out":"${opt("out")}"}""")
+
+      case "index" =>
+        val turns = spark.read.parquet(opt("input")).as[Turn]
+        val t0 = System.nanoTime()
+        val idx = IndexBuild.build(turns, opt("out"), tag,
+          docsPerShard = opt.getOrElse("docs-per-shard", "16384").toLong,
+          waves = opt.getOrElse("waves", "1").toInt,
+          inputSorted = opt.contains("sorted"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"indexed_docs":${idx.stats.numDocs},"tokens":${idx.stats.numTokens},"sec":$sec}""")
+
+      case "search" =>
+        val index = IndexBuild.load(spark, opt("index"))
+        val topics = loadTopics(opt("topics"), opt.getOrElse("format", "tsv"))
+        val model = Scoring.parse(opt.getOrElse("model", "BM25k0.9b0.4"))
+        val k = opt.getOrElse("k", "1000").toInt
+        val sentinel = opt.get("sentinel")
+        val t0 = System.nanoTime()
+        val ranked = opt.getOrElse("path", "bmw") match {
+          case "exact" =>
+            Exact.search(index.termDocs, index.dict, index.stats, topics, model, k,
+              tag, sentinelDocId = sentinel)
+          case _ =>
+            BlockMaxWand.search(index, topics, model, k, tag, sentinelDocId = sentinel)
+        }
+        opt.get("out") match {
+          case Some(out) => Trec.writeRun(ranked, model.name, out)
+          case None => ranked.orderBy("qid", "rank").show(50, truncate = false)
+        }
+        println(s"""{"topics":${topics.size},"k":$k,"model":"${model.name}","sec":${(System.nanoTime() - t0) / 1e9}}""")
+
+      case "stats" =>
+        val index = IndexBuild.load(spark, opt("index"))
+        val out = opt("out")
+        index.dict.write.mode("overwrite").option("header", "true").csv(s"$out/term_stats")
+        spark.createDataFrame(Seq((index.stats.numDocs, index.stats.numTokens, index.stats.avgDocLen)))
+          .toDF("docCount", "sumTotalTermFreq", "avgLength")
+          .write.mode("overwrite").option("header", "true").csv(s"$out/field_stats")
+        println(s"""{"docs":${index.stats.numDocs},"out":"$out"}""")
+
+      case other => throw new IllegalArgumentException(s"unknown subcommand: $other")
+    }
+    spark.stop()
+  }
+}

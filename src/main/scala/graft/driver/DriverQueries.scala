@@ -265,14 +265,15 @@ object DriverQueries {
   }
 
   /** Synthetic deterministic qrels over documents: qid × doc where
-   * (doc_id + qid·7) % 13 == 0, judge = doc_id % 3 ∈ {0,1,2}. */
+   * (doc_id + qid·7) % 5 == 0 (dense enough to overlap top-k runs),
+   * judge = doc_id % 3 ∈ {0,1,2}. */
   private def qrelsDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val qids = topics.map(_.qid).toDF("qid")
     Transcripts.table(s, d, "documents")
       .select(col("doc_id"))
       .crossJoin(broadcast(qids))
-      .filter((col("doc_id") + col("qid") * 7) % 13 === 0)
+      .filter((col("doc_id") + col("qid") * 7) % 5 === 0)
       .select(col("qid"),
         concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
         (col("doc_id") % 3).cast("int").as("judge"))
@@ -283,7 +284,7 @@ object DriverQueries {
        |  'doc-' || CAST(d.doc_id AS VARCHAR) || '#0' AS docid,
        |  CAST(d.doc_id % 3 AS INT) AS judge
        |  FROM documents d CROSS JOIN (VALUES $qidValues) AS q(qid)
-       |  WHERE (d.doc_id + q.qid * 7) % 13 = 0)""".stripMargin
+       |  WHERE (d.doc_id + q.qid * 7) % 5 = 0)""".stripMargin
 
   /** The r1 ranked run as a SQL CTE (no sentinel), reused by eval/spam. */
   private val runSqlCte =
@@ -640,9 +641,58 @@ object DriverQueries {
       None)
   )
 
+  // ---- batch 4: judged-frequency dump, query stats ----
+  val specs4: Seq[Spec] = Seq(
+
+    // A8 — query-judged frequency dump (TermFreqDistribution.java:107-145):
+    // per (qid, term, judgeLevel): matched-doc count + Σ tf/docLen.
+    Spec("a8_judged_freq",
+      (s, d) => {
+        import s.implicits._
+        val q = Exact.queryTerms(topics, Analyzer.Tag.NoStem)
+          .map { case (qid, t, _, _) => (qid, t) }.toDF("qid", "term")
+        termDocs(s, d).join(broadcast(q), Seq("term"))
+          .join(qrelsDf(s, d), Seq("qid", "docId"))
+          .groupBy("qid", "term", "judge")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("tf").cast("double") / col("docLen").cast("double")), 6).as("sum_relfreq"))
+      },
+      Some(s"""WITH $CTES,
+        |$qrelsSqlCte,
+        |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult))
+        |SELECT q.qid AS qid, q.term AS term, qr.judge AS judge, count(*) AS cnt,
+        |  round(sum(tf.tf * 1.0 / dl.dl), 6) AS sum_relfreq
+        |FROM q
+        |JOIN tf ON q.term = tf.term
+        |JOIN dl ON tf.doc_id = dl.doc_id
+        |JOIN qrels qr ON qr.qid = q.qid AND qr.docid = 'doc-' || CAST(tf.doc_id AS VARCHAR) || '#0'
+        |GROUP BY q.qid, q.term, qr.judge""".stripMargin)),
+
+    // A9 — per-query doc-length stats over docs matching any term
+    // (stats/QueryStats.java:6-46): matched-df, Σdl, Σdl².
+    Spec("a9_query_stats",
+      (s, d) => {
+        import s.implicits._
+        val q = Exact.queryTerms(topics, Analyzer.Tag.NoStem)
+          .map { case (qid, t, _, _) => (qid, t) }.toDF("qid", "term")
+        termDocs(s, d).join(broadcast(q), Seq("term"))
+          .groupBy("qid", "docId").agg(first("docLen").as("dl"))
+          .groupBy("qid")
+          .agg(count(lit(1)).as("n_matched"), sum("dl").as("sum_dl"),
+            sum(col("dl") * col("dl")).as("sum_dl2"))
+      },
+      Some(s"""WITH $CTES,
+        |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |m AS (SELECT q.qid AS qid, tf.doc_id AS doc_id FROM q JOIN tf ON q.term = tf.term
+        |      GROUP BY q.qid, tf.doc_id)
+        |SELECT m.qid AS qid, count(*) AS n_matched,
+        |  CAST(sum(dl.dl) AS BIGINT) AS sum_dl, CAST(sum(dl.dl * dl.dl) AS BIGINT) AS sum_dl2
+        |FROM m JOIN dl ON m.doc_id = dl.doc_id GROUP BY m.qid""".stripMargin))
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (specs ++ specs2 ++ specs3).map(s => s.name -> s.fn).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4).map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    (specs ++ specs2 ++ specs3).flatMap(s => s.oracle.map(s.name -> _)).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4).flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

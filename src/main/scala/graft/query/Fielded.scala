@@ -1,0 +1,78 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzer
+import graft.model.Topic
+
+/**
+ * R3 — fielded "SOTA" retrieval (SURVEY.md §2.5; reference
+ * `Searcher.java:232-323`): per query term a DisjunctionMax over boosted
+ * per-field scores (Lucene semantics: max + tie·(sum − max)), wrapped in a
+ * boolean query with a query-length-dependent minimum-should-match:
+ * len<3 → len, len<5 → len−1, else len−2.
+ *
+ * Input is a *fielded* posting source `(docId, field, term, tf, docLen)`
+ * where docLen is the analyzed length of that document's field; per-field
+ * collection statistics are computed from it (the reference holds one
+ * Lucene index per field).
+ */
+object Fielded {
+
+  /** Reference boosts (`Searcher.java:232-323`). */
+  val DEFAULT_BOOSTS: Map[String, Double] =
+    Map("title" -> 0.9, "keywords" -> 0.7, "description" -> 0.5, "contents" -> 0.3)
+  val DEFAULT_TIE = 0.1
+
+  def minimumShouldMatch(queryLen: Int): Int =
+    if (queryLen < 3) queryLen else if (queryLen < 5) queryLen - 1 else queryLen - 2
+
+  def search(fieldedTermDocs: DataFrame, topics: Seq[Topic], model: Scoring.Model,
+             k: Int, boosts: Map[String, Double] = DEFAULT_BOOSTS,
+             tie: Double = DEFAULT_TIE,
+             tag: Analyzer.Tag = Analyzer.Tag.NoStem): DataFrame = {
+    val spark = fieldedTermDocs.sparkSession
+    import spark.implicits._
+
+    // per-field corpus stats and per-(field, term) df/cf
+    val fieldStats = fieldedTermDocs.groupBy("field")
+      .agg(countDistinct("docId").as("fN"), sum("tf").as("fC"))
+    val fieldDict = fieldedTermDocs.groupBy("field", "term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+
+    val q = Exact.queryTerms(topics, tag).toDF("qid", "term", "mult", "nTerms")
+
+    val in = Scoring.In(
+      tf = col("tf").cast("double"), docLen = col("docLen").cast("double"),
+      df = col("df").cast("double"), cf = col("cf").cast("double"),
+      kf = lit(1.0d), n = col("fN").cast("double"), c = col("fC").cast("double"))
+    val boostCol = boosts.foldLeft(lit(0.0)) { case (acc, (f, b)) =>
+      when(col("field") === f, lit(b)).otherwise(acc)
+    }
+
+    val perField = fieldedTermDocs
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(fieldDict), Seq("field", "term"))
+      .join(broadcast(fieldStats), Seq("field"))
+      .withColumn("s", boostCol * model.expr(in).cast("float").cast("double"))
+
+    // DisjunctionMax per (qid, docId, term): max + tie*(sum-max)
+    val perTerm = perField.groupBy("qid", "docId", "term")
+      .agg(first("mult").as("mult"), first("nTerms").as("nTerms"),
+        max("s").as("mx"), sum("s").as("sm"))
+      .withColumn("termScore", (col("mx") + lit(tie) * (col("sm") - col("mx"))) * col("mult"))
+
+    val msmUdf = udf(minimumShouldMatch _)
+    val perDoc = perTerm.groupBy("qid", "docId")
+      .agg(sum("termScore").cast("float").as("score"),
+        count(lit(1)).as("matched"), first("nTerms").as("nTerms"))
+      .filter(col("matched") >= msmUdf(col("nTerms").cast("int")))
+
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("docId").asc)
+    perDoc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "docId", "rank", "score")
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Topic
+import graft.query.{Fielded, Scoring}
+
+/** R3 fielded DisMax + minimum-should-match semantics
+ * (`Searcher.java:232-323`). */
+class FieldedSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("minimumShouldMatch rule") {
+    assert(Fielded.minimumShouldMatch(1) == 1)
+    assert(Fielded.minimumShouldMatch(2) == 2)
+    assert(Fielded.minimumShouldMatch(3) == 2)
+    assert(Fielded.minimumShouldMatch(4) == 3)
+    assert(Fielded.minimumShouldMatch(5) == 3)
+    assert(Fielded.minimumShouldMatch(8) == 6)
+  }
+
+  test("title boost dominates contents; msm filters partial matches") {
+    import spark.implicits._
+    // fielded postings: (docId, field, term, tf, docLen)
+    val fd = Seq(
+      // docA: 'apple' in title, 'pie' in contents → matches both terms
+      ("docA", "title", "apple", 1L, 2L),
+      ("docA", "contents", "pie", 1L, 10L),
+      // docB: both terms in contents only
+      ("docB", "contents", "apple", 1L, 10L),
+      ("docB", "contents", "pie", 1L, 10L),
+      // docC: only 'apple' → fails msm(2)=2
+      ("docC", "title", "apple", 1L, 2L),
+      // background docs so idf is meaningful and positive in BOTH fields
+      ("docD", "contents", "other", 3L, 10L),
+      ("docD", "title", "misc", 1L, 2L),
+      ("docE", "contents", "other", 2L, 10L),
+      ("docE", "title", "misc", 1L, 2L),
+      ("docF", "title", "noise", 1L, 2L),
+      ("docG", "title", "noise", 1L, 2L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val topics = Seq(Topic(1, "apple pie"))
+    val got = Fielded.search(fd, topics, Scoring.BM25c(0.9, 0.4), k = 10)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getInt(2)))
+    val docs = got.map(_._1).toSeq
+    assert(docs.toSet == Set("docA", "docB"), s"msm should drop docC: $docs")
+    assert(docs.head == "docA", "title-boosted match should rank first")
+  }
+
+  test("single-term query: msm(1)=1 keeps single-field matches") {
+    import spark.implicits._
+    val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val got = Fielded.search(fd, Seq(Topic(1, "apple")), Scoring.BM25c(0.9, 0.4), 10)
+      .collect()
+    assert(got.length == 1 && got.head.getString(1) == "d1")
+  }
+}
