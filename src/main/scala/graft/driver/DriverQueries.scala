@@ -641,8 +641,41 @@ object DriverQueries {
       None)
   )
 
-  // ---- batch 4: judged-frequency dump, query stats ----
+  // ---- batch 4: judged-frequency dump, query stats, multi-model pass ----
   val specs4: Seq[Spec] = Seq(
+
+    // R5 — one scan of the posting source scoring SEVERAL models at once
+    // (FeatureSearcher.java:51-140): per (qid, doc) a column per model.
+    Spec("r5_multi_model",
+      (s, d) => {
+        val td = termDocs(s, d)
+        val dict = Dictionary.termStats(td)
+        val st = Tokenize.corpusStats(docs(s, d))
+        val qts = Exact.qtermStats(s, topics, dict, Analyzer.Tag.NoStem)
+        val in = graft.query.Scoring.In(
+          tf = col("tf").cast("double"), docLen = col("docLen").cast("double"),
+          df = col("df").cast("double"), cf = col("cf").cast("double"),
+          kf = lit(1.0d), n = lit(st.numDocs.toDouble), c = lit(st.numTokens.toDouble))
+        val models = Seq(
+          "bm25" -> Scoring.BM25c(0.9, 0.4), "tfidf" -> Scoring.TFIDF, "rawtf" -> Scoring.RawTF)
+        val aggs = models.map { case (nm, m) =>
+          round(sum(m.expr(in) * col("mult")), 4).as(nm)
+        }
+        td.join(broadcast(qts), Seq("term"))
+          .groupBy(col("qid"), col("docId").as("docid"))
+          .agg(aggs.head, aggs.tail: _*)
+      },
+      Some(s"""WITH $CTES,
+        |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult))
+        |SELECT q.qid AS qid, 'doc-' || CAST(tf.doc_id AS VARCHAR) || '#0' AS docid,
+        |  round(sum(q.mult * ($bm25Sql)), 4) AS bm25,
+        |  round(sum(q.mult * ((1.2 * tf.tf / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (st.c * 1.0 / st.n))))
+        |    * (ln(st.n * 1.0 / dict.df + 1) / ln(2.0)))), 4) AS tfidf,
+        |  round(sum(q.mult * CAST(tf.tf AS DOUBLE)), 4) AS rawtf
+        |FROM q JOIN tf ON q.term = tf.term
+        |JOIN dl ON tf.doc_id = dl.doc_id
+        |JOIN dict ON q.term = dict.term CROSS JOIN st
+        |GROUP BY q.qid, tf.doc_id""".stripMargin)),
 
     // A8 — query-judged frequency dump (TermFreqDistribution.java:107-145):
     // per (qid, term, judgeLevel): matched-doc count + Σ tf/docLen.

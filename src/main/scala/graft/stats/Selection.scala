@@ -1,0 +1,87 @@
+package graft.stats
+
+import graft.model.Topic
+
+/**
+ * Selective stemming / model selection (SURVEY.md §2.10;
+ * reference `SelectionMethods.java:79-200`, `knn/KNNTool.java:31-98`).
+ *
+ * These operate on per-query term statistics and tiny per-query vectors
+ * (≤ a few hundred queries × ≤8 terms), so they are driver-side pure Scala —
+ * the distributed part is producing the df/cf tables and histograms they
+ * consume.
+ */
+object Selection {
+
+  /**
+   * Kendall's tau correlation between two rankings given as paired value
+   * sequences (the reference uses commons-math3 KendallsCorrelation over
+   * per-query term df/cf orders, `SelectionMethods.java:79-96`).
+   * Tie-aware (tau-b).
+   */
+  def kendallTau(x: Seq[Double], y: Seq[Double]): Double = {
+    require(x.size == y.size && x.size >= 2, "need ≥2 paired observations")
+    val n = x.size
+    var concordant = 0L
+    var discordant = 0L
+    var tiesX = 0L
+    var tiesY = 0L
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val dx = java.lang.Double.compare(x(i), x(j))
+      val dy = java.lang.Double.compare(y(i), y(j))
+      if (dx == 0 && dy == 0) { tiesX += 1; tiesY += 1 }
+      else if (dx == 0) tiesX += 1
+      else if (dy == 0) tiesY += 1
+      else if (dx * dy > 0) concordant += 1
+      else discordant += 1
+    }
+    val n0 = n.toLong * (n - 1) / 2
+    val denom = math.sqrt((n0 - tiesX).toDouble * (n0 - tiesY).toDouble)
+    if (denom == 0) 0.0 else (concordant - discordant) / denom
+  }
+
+  /**
+   * TermFreqDistribution-order selective stemming
+   * (`SelectionMethods.java:79-96` "DF order" semantics): for a query,
+   * choose the stemmed index when the df-order and cf-order of its analyzed
+   * terms agree (tau == 1), else keep NoStem. Inputs: per-term (df, cf)
+   * under the candidate tag.
+   */
+  def agreeOnOrder(dfs: Seq[Long], cfs: Seq[Long]): Boolean =
+    dfs.size < 2 || kendallTau(dfs.map(_.toDouble), cfs.map(_.toDouble)) == 1.0
+
+  /** J7 — majority vote of per-neighbor best models
+   * (`knn/MajorityVoter`): most frequent label, ties → lexicographically
+   * smallest. */
+  def majorityVote(labels: Seq[String]): String =
+    labels.groupBy(identity).map { case (l, o) => (l, o.size) }
+      .toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+
+  /** J7 — mean vote (`knn/MeanVoter`): label with the best mean score;
+   * lower-is-better divergence scores. */
+  def meanVote(scored: Seq[(String, Double)]): String =
+    scored.groupBy(_._1).view.mapValues(v => v.map(_._2).sum / v.size)
+      .toSeq.minBy { case (l, m) => (m, l) } match { case (l, _) => l }
+
+  /**
+   * KNN model selection (`knn/KNNTool.java:42-98`): for each query, find the
+   * k nearest neighbor queries by histogram divergence (e.g. chi-square over
+   * TFD vectors) and vote the best-performing model among them.
+   *
+   * @param tfds     qid → per-query TFD vector (already decorated)
+   * @param bestOf   qid → best model label on that query (from evaluation)
+   * @param distance divergence between two vectors (lower = closer)
+   */
+  def knnSelect(topics: Seq[Topic], tfds: Map[Int, Array[Double]],
+                bestOf: Map[Int, String], k: Int,
+                distance: (Array[Double], Array[Double]) => Double): Map[Int, String] =
+    topics.flatMap { t =>
+      tfds.get(t.qid).map { v =>
+        val neighbors = topics.filter(o => o.qid != t.qid && tfds.contains(o.qid) && bestOf.contains(o.qid))
+          .map(o => (o.qid, distance(v, tfds(o.qid))))
+          .sortBy { case (qid, d) => (d, qid) }
+          .take(k)
+        t.qid -> majorityVote(neighbors.map(n => bestOf(n._1)))
+      }
+    }.toMap
+}
