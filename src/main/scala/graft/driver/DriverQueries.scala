@@ -633,6 +633,28 @@ object DriverQueries {
         |SELECT doc_id AS id, CAST(sum((length(term) + 3) // 4) AS BIGINT) AS approx_llm_tokens
         |FROM tok GROUP BY doc_id""".stripMargin)),
 
+    // Embedding-cosine near-dup pairs (exact over a bounded id range —
+    // the verification kernel behind cosine-threshold dedup).
+    Spec("d5_embedding_neardup",
+      (s, d) => {
+        val emb = Transcripts.table(s, d, "embeddings").filter(col("vec_id") < 200)
+        val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+        val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+        a.join(b, col("id1") < col("id2"))
+          .withColumn("cos", round(graft.pipeline.Similarity.cosineCol(col("v1"), col("v2")), 6))
+          .filter(col("cos") >= 0.25)
+          .select("id1", "id2", "cos")
+      },
+      Some("""WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |            unnest(range(len(embedding))) AS pos FROM embeddings WHERE vec_id < 200),
+        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM el GROUP BY vec_id),
+        |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
+        |         FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id < b.vec_id
+        |         GROUP BY a.vec_id, b.vec_id),
+        |cosv AS (SELECT id1, id2, round(dot / (n1.nn * n2.nn), 6) AS cos
+        |         FROM dots JOIN nrm n1 ON dots.id1 = n1.vec_id JOIN nrm n2 ON dots.id2 = n2.vec_id)
+        |SELECT id1, id2, cos FROM cosv WHERE cos >= 0.25""".stripMargin)),
+
     // Multimodal stub pipeline: binary payload → batch decode → metadata +
     // feature norm (rows-only; codec determinism unit-tested).
     Spec("m1_multimodal_features",

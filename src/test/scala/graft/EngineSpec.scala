@@ -144,6 +144,35 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("hot-term skew: a 90%-df stopword spreads evenly across shards (FIXTURES.md §6)") {
+    import spark.implicits._
+    // corpus where 'hotstop' appears in 90% of turns
+    val skewed = spark.range(0, 600, 1, 4).as[Long].map { i =>
+      val base = Transcripts.turnOf(i, 0, 7L)
+      if (i % 10 != 0) base.copy(text = base.text + " hotstop hotstop") else base
+    }
+    val dir = Files.createTempDirectory("graft-skew").toString
+    val idx = IndexBuild.build(skewed, dir, docsPerShard = 100) // 6 shards
+    val perShard = idx.blocks.filter(col("term") === "hotstop")
+      .groupBy("shard").agg(sum("n").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perShard.size == 6, s"stopword postings must appear in every shard: $perShard")
+    val counts = perShard.values
+    assert(counts.max <= counts.min * 2,
+      s"doc-range sharding should balance the hot term, got $perShard")
+    // and retrieval over the skewed corpus still matches the oracle
+    val skewedLocal = (0L until 600L).map { i =>
+      val base = Transcripts.turnOf(i, 0, 7L)
+      if (i % 10 != 0) base.copy(text = base.text + " hotstop hotstop") else base
+    }
+    val t = Seq(Topic(1, "hotstop w0"))
+    val got = BlockMaxWand.search(idx, t, model, 20)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(_._3)
+    val want = Oracle.topk(skewedLocal, t, model, 20, SENT).sortBy(_._3)
+    assert(got.toSeq == want)
+  }
+
   test("TF histogram (Spark column math) == scalar Scala loop") {
     val bins = 10
     val terms = Seq("w0", "w5", "needle0")
