@@ -22,10 +22,19 @@ import graft.query.{BlockMaxWand, Exact, Scoring}
  */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
+  /** Bare flags are mapped to "true" under their stripped key FIRST, then the
+   * remaining args pair up key/value — so a flag never swallows the next
+   * option (`index --input X --sorted --out Y` keeps both sorted and out). */
+  private val FLAGS = Set("--sorted")
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val (flags, kvs) = args.partition(FLAGS.contains)
+    require(kvs.length % 2 == 0, s"dangling option in: ${kvs.mkString(" ")}")
+    val pairs = kvs.grouped(2).map {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap ++ args.filter(a => a == "--sorted").map(_ -> "true").toMap
+      case Array(k, v) => throw new IllegalArgumentException(s"expected --option, got '$k' before '$v'")
+    }.toMap
+    pairs ++ flags.map(_.stripPrefix("--") -> "true")
+  }
 
   private def loadTopics(path: String, format: String): Seq[Topic] = {
     val lines = scala.io.Source.fromFile(path, "UTF-8").getLines().toSeq
@@ -82,7 +91,14 @@ object Main {
         val k = opt.getOrElse("k", "1000").toInt
         val sentinel = opt.get("sentinel")
         val t0 = System.nanoTime()
-        val ranked = opt.getOrElse("path", "bmw") match {
+        val path = opt.getOrElse("path", "bmw") match {
+          case "exact" => "exact"
+          case p if !model.ubSafe => // BMW unsound for non-monotone models
+            System.err.println(s"[search] ${model.name} is not block-max-safe; using exact path instead of $p")
+            "exact"
+          case p => p
+        }
+        val ranked = path match {
           case "exact" =>
             Exact.search(index.termDocs, index.dict, index.stats, topics, model, k,
               tag, sentinelDocId = sentinel)

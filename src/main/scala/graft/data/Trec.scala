@@ -91,12 +91,18 @@ object Trec {
       Qrel(parts(0).toInt, parts(2), parts(3).toInt)
     }
 
-  /** Distributed qrels reader (S7): whitespace CSV → (qid, docId, judge). */
-  def readQrels(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", " ").csv(path)
-      .select(col("_c0").cast("int").as("qid"),
-        col("_c2").as("docId"),
-        col("_c3").cast("int").as("judge"))
+  /** Distributed qrels reader (S7): whitespace-tolerant, matching
+   * [[parseQrels]] — real TREC qrels mix tabs and runs of spaces, which a
+   * single-space CSV separator would misalign into null columns. */
+  def readQrels(spark: SparkSession, path: String): DataFrame = {
+    val cols = split(trim(col("value")), "\\s+")
+    spark.read.text(path)
+      .filter(trim(col("value")) =!= "")
+      .select(cols.as("c"))
+      .select(element_at(col("c"), 1).cast("int").as("qid"),
+        element_at(col("c"), 3).as("docId"),
+        element_at(col("c"), 4).cast("int").as("judge"))
+  }
 
   /** K2 — TREC run writer: `qid Q0 docID rank score runTag`, sorted by
    * (qid, rank); the sentinel rows are already part of the ranked input. */

@@ -46,12 +46,38 @@ object DriverQueries {
   /** Terms used by per-term analytics queries. */
   val histTerms: Seq[String] = Seq("spark", "merge", "the", "a", "dup", "vector", "hash", "query")
 
-  // ---- shared Spark-side corpus derivations ----
+  // ---- shared Spark-side corpus derivations, cached per sfDir ----
+  // Nearly every spec consumes termDocs/docs/dict/corpusStats; without
+  // caching each of the ~40 gate queries re-tokenizes the corpus from
+  // scratch (the round-1 gate spent 3-5× its operator time there).
+  private val memo = scala.collection.mutable.Map.empty[(String, String), Any]
+  private def cached[A](kind: String, dir: String)(mk: => A): A = synchronized {
+    memo.getOrElseUpdate((kind, dir), mk).asInstanceOf[A]
+  }
+
   def termDocs(spark: SparkSession, dir: String): DataFrame =
-    Tokenize.termDocs(Transcripts.fromDocuments(spark, dir))
+    cached("termDocs", dir) {
+      val df = Tokenize.termDocs(Transcripts.fromDocuments(spark, dir)).persist()
+      df.count()
+      df
+    }
 
   def docs(spark: SparkSession, dir: String): DataFrame =
-    Tokenize.docs(Transcripts.fromDocuments(spark, dir))
+    cached("docs", dir) {
+      val df = Tokenize.docs(Transcripts.fromDocuments(spark, dir)).persist()
+      df.count()
+      df
+    }
+
+  def dict(spark: SparkSession, dir: String): DataFrame =
+    cached("dict", dir) {
+      val df = Dictionary.termStats(termDocs(spark, dir)).persist()
+      df.count()
+      df
+    }
+
+  def corpusStats(spark: SparkSession, dir: String): graft.model.CorpusStats =
+    cached("stats", dir)(Tokenize.corpusStats(docs(spark, dir)))
 
   /** Compressed block index over the documents corpus, built once per JVM
    * per sfDir (fresh — no reuse across runs, the format may evolve). */
@@ -119,9 +145,7 @@ object DriverQueries {
 
   private def bm25TopkSpark(spark: SparkSession, dir: String, conjunctive: Boolean): DataFrame = {
     val td = termDocs(spark, dir)
-    val dict = Dictionary.termStats(td)
-    val stats = Tokenize.corpusStats(docs(spark, dir))
-    Exact.search(td, dict, stats, topics, Scoring.BM25c(0.9, 0.4), K,
+    Exact.search(td, dict(spark, dir), corpusStats(spark, dir), topics, Scoring.BM25c(0.9, 0.4), K,
         conjunctive = conjunctive, sentinelDocId = Some(SENTINEL),
         roundedDouble = Some(4))
       .withColumnRenamed("docId", "docid")
@@ -141,7 +165,7 @@ object DriverQueries {
 
     Spec("a1_corpus_stats",
       (s, d) => {
-        val st = Tokenize.corpusStats(docs(s, d))
+        val st = corpusStats(s, d)
         s.createDataFrame(Seq((st.numDocs, st.numTokens)))
           .toDF("num_docs", "num_tokens")
           .withColumn("avgdl", round(col("num_tokens").cast("double") / col("num_docs").cast("double"), 6))
@@ -150,7 +174,7 @@ object DriverQueries {
         |SELECT n AS num_docs, c AS num_tokens, round(c * 1.0 / n, 6) AS avgdl FROM st""".stripMargin)),
 
     Spec("a2_term_stats",
-      (s, d) => Dictionary.termStats(termDocs(s, d)).select("term", "df", "cf"),
+      (s, d) => dict(s, d).select("term", "df", "cf"),
       Some(s"""WITH $CTES
         |SELECT term, df, CAST(cf AS BIGINT) AS cf FROM dict""".stripMargin)),
 
@@ -159,10 +183,10 @@ object DriverQueries {
     Spec("a2c_cti",
       (s, d) => {
         val td = termDocs(s, d).filter(col("term").isin(histTerms: _*))
-        val dict = Dictionary.termStats(td)
-        val st = Tokenize.corpusStats(docs(s, d))
+        val dct = dict(s, d)
+        val st = corpusStats(s, d)
         val e = (col("cf") * col("docLen")).cast("double") / lit(st.numTokens.toDouble)
-        td.join(dict, "term")
+        td.join(dct, "term")
           .withColumn("x", pow(col("tf").cast("double") - e, 2) / e)
           .groupBy("term")
           .agg(first("df").as("df"), first("cf").as("cf"), sum("x").as("sx"))
@@ -238,9 +262,9 @@ object DriverQueries {
         import s.implicits._
         val q = Exact.queryTerms(topics, Analyzer.Tag.NoStem)
           .map { case (qid, term, _, _) => (qid, term) }.toDF("qid", "term")
-        val dict = Dictionary.termStats(termDocs(s, d))
-        val st = Tokenize.corpusStats(docs(s, d))
-        dict.join(broadcast(q), Seq("term"))
+        val dct = dict(s, d)
+        val st = corpusStats(s, d)
+        dct.join(broadcast(q), Seq("term"))
           .select(col("qid"), col("term"),
             round(log(lit(st.numDocs.toDouble) / col("df")), 6).as("idf"),
             round(log(lit(st.numTokens.toDouble) / col("cf")), 6).as("ictf"),
@@ -260,7 +284,7 @@ object DriverQueries {
   /** BM25 rounded-double run WITHOUT sentinel (k=20) — eval/spam input. */
   private def bm25Run(s: SparkSession, d: String): DataFrame = {
     val td = termDocs(s, d)
-    Exact.search(td, Dictionary.termStats(td), Tokenize.corpusStats(docs(s, d)),
+    Exact.search(td, dict(s, d), corpusStats(s, d),
       topics, Scoring.BM25c(0.9, 0.4), K, roundedDouble = Some(4))
   }
 
@@ -330,7 +354,7 @@ object DriverQueries {
     Spec("a6b_dirichlet_histogram",
       (s, d) => {
         val td = termDocs(s, d)
-        Histograms.dirichlet(td, Dictionary.termStats(td), Tokenize.corpusStats(docs(s, d)),
+        Histograms.dirichlet(td, dict(s, d), corpusStats(s, d),
           histTerms, 10)
       },
       Some(s"""WITH $CTES,
@@ -348,7 +372,7 @@ object DriverQueries {
     Spec("a5_phi_histogram",
       (s, d) => {
         val td = termDocs(s, d)
-        Histograms.phi(td, Dictionary.termStats(td), Tokenize.corpusStats(docs(s, d)),
+        Histograms.phi(td, dict(s, d), corpusStats(s, d),
           histTerms, 10)
       },
       None),
@@ -356,8 +380,8 @@ object DriverQueries {
     // QPP aggregation over per-term idf (qpp/Aggregate.java).
     Spec("a10b_qpp_agg",
       (s, d) => {
-        val pt = Qpp.perTerm(s, topics, Dictionary.termStats(termDocs(s, d)),
-          Tokenize.corpusStats(docs(s, d)))
+        val pt = Qpp.perTerm(s, topics, dict(s, d),
+          corpusStats(s, d))
         Qpp.aggregate(pt, "idf").select(
           col("qid"), round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
           round(col("avg"), 6).as("avg"), round(col("sum"), 6).as("sum"),
@@ -377,7 +401,7 @@ object DriverQueries {
 
     // Scope predictor (qpp/Scope.java:47-49).
     Spec("a10c_scope",
-      (s, d) => Qpp.scope(termDocs(s, d), topics, Tokenize.corpusStats(docs(s, d)))
+      (s, d) => Qpp.scope(termDocs(s, d), topics, corpusStats(s, d))
         .select(col("qid"), round(col("scope"), 6).as("scope")),
       Some(s"""WITH $CTES,
         |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
@@ -389,7 +413,7 @@ object DriverQueries {
 
     // VAR predictor (qpp/VAR.java:42-117): wdt = 1 + ln(tf)·ln(1 + N/df).
     Spec("a10d_var",
-      (s, d) => Qpp.varPredictor(s, termDocs(s, d), topics, Tokenize.corpusStats(docs(s, d)))
+      (s, d) => Qpp.varPredictor(s, termDocs(s, d), topics, corpusStats(s, d))
         .select(col("qid"), round(col("var"), 6).as("var")),
       Some(s"""WITH $CTES,
         |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
@@ -410,7 +434,7 @@ object DriverQueries {
     Spec("a10e_pmi",
       (s, d) => {
         import s.implicits._
-        Qpp.pmi(s, termDocs(s, d), topics, Tokenize.corpusStats(docs(s, d)))
+        Qpp.pmi(s, termDocs(s, d), topics, corpusStats(s, d))
           .toDF("qid", "pmi").select(col("qid"), round(col("pmi"), 6).as("pmi"))
       },
       Some {
@@ -671,9 +695,9 @@ object DriverQueries {
     Spec("r5_multi_model",
       (s, d) => {
         val td = termDocs(s, d)
-        val dict = Dictionary.termStats(td)
-        val st = Tokenize.corpusStats(docs(s, d))
-        val qts = Exact.qtermStats(s, topics, dict, Analyzer.Tag.NoStem)
+        val dct = dict(s, d)
+        val st = corpusStats(s, d)
+        val qts = Exact.qtermStats(s, topics, dct, Analyzer.Tag.NoStem)
         val in = graft.query.Scoring.In(
           tf = col("tf").cast("double"), docLen = col("docLen").cast("double"),
           df = col("df").cast("double"), cf = col("cf").cast("double"),

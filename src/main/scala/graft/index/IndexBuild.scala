@@ -96,10 +96,44 @@ object IndexBuild {
             inputSorted: Boolean = false): Index = {
     val spark = turns.sparkSession
     import spark.implicits._
+    // Resume safety: completedShards treats an on-disk shard=K dir as
+    // committed, which is only true under job-level commit — pin the v1
+    // committer so partition dirs surface at job commit, never mid-wave.
+    spark.sparkContext.hadoopConfiguration
+      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 1)
     val docsDir = s"$indexDir/docs"
     val dictDir = s"$indexDir/dict"
     val postingsDir = s"$indexDir/postings"
     val manifestDir = s"$indexDir/manifest"
+
+    // inputSorted trusts partition order AS docId-string order — the
+    // engine's canonical tie-break order (exact path, BMW heap, windows).
+    // Validate it with one narrow pass (docId column only): per-partition
+    // strict monotonicity + cross-partition boundary order. A numeric
+    // (conv_id, turn_idx) sort with turn_idx ≥ 10 would fail here ("c#10"
+    // sorts before "c#2" numerically but after as a string).
+    if (inputSorted && !stageDone(spark, s"$indexDir/docs")) {
+      val docIdCol = concat(col("conv_id"), lit("#"), col("turn_idx").cast("string"))
+      val bounds = turns.toDF().select(docIdCol.as("docId"))
+        .rdd.mapPartitionsWithIndex { (pi, it) =>
+          var first: String = null; var last: String = null; var sorted = true
+          it.foreach { r =>
+            val d = r.getString(0)
+            if (first == null) first = d
+            else if (d.compareTo(last) <= 0) sorted = false
+            last = d
+          }
+          if (first == null) Iterator.empty else Iterator((pi, first, last, sorted))
+        }.collect().sortBy(_._1)
+      bounds.foreach { case (pi, _, _, sorted) =>
+        require(sorted, s"inputSorted=true but partition $pi is not strictly sorted by docId string") }
+      bounds.sliding(2).foreach {
+        case Array((_, _, lastA, _), (pi, firstB, _, _)) =>
+          require(lastA < firstB,
+            s"inputSorted=true but partition $pi starts at '$firstB' ≤ previous partition's last '$lastA'")
+        case _ =>
+      }
+    }
 
     // DenseIds persists its post-shuffle frame internally for unsorted
     // input, so every pass below pays the range shuffle at most once.

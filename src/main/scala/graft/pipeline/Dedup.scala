@@ -115,9 +115,14 @@ object Dedup {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
 
+    // verification: semi-filter the big shingle arrays to candidate ids
+    // FIRST, so only colliding docs' arrays ever shuffle
+    val candIds = candidates.select(col("id1").as("id"))
+      .unionByName(candidates.select(col("id2").as("id"))).distinct()
+    val candShingles = shingled.join(candIds, Seq("id"), "left_semi")
     val verified = candidates
-      .join(shingled.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
-      .join(shingled.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
+      .join(candShingles.select(col("id").as("id1"), col("shingles").as("sh1")), "id1")
+      .join(candShingles.select(col("id").as("id2"), col("shingles").as("sh2")), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
           size(array_union(col("sh1"), col("sh2"))).cast("double"))

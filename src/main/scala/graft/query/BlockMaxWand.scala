@@ -183,6 +183,10 @@ object BlockMaxWand {
              k: Int, tag: Analyzer.Tag = Analyzer.Tag.NoStem,
              sentinelDocId: Option[String] = None,
              roundedDouble: Option[Int] = None): DataFrame = {
+    require(model.ubSafe,
+      s"Block-Max WAND is unsound for non-monotone model ${model.name} " +
+        "(block bound score(maxTf, minDocLen) would not dominate mid-tf " +
+        "postings); use Exact.search")
     val spark = index.docs.sparkSession
     import spark.implicits._
 

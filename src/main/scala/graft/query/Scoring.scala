@@ -57,6 +57,12 @@ object Scoring {
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double
     def expr(in: In): Column
+    /** True iff `score(maxTf, minDocLen)` is a valid per-block upper bound,
+     * i.e. the model is monotone non-decreasing in tf and non-increasing in
+     * docLen. Block-Max WAND is only sound for such models; non-monotone
+     * ones (DPH/DLH13/DFRee's `(1-tf/dl)²` collapse, PL2's tfn dip) must take
+     * the exact path. */
+    def ubSafe: Boolean = true
     override def toString: String = name
   }
 
@@ -134,6 +140,7 @@ object Scoring {
    * PL2 ≡ PL2c(c=1). */
   final case class PL2c(cParam: Double = 1d) extends Model {
     val name = if (cParam == 1d) "PL2" else s"PL2c$cParam"
+    override val ubSafe = false // 0.5·log2(2π·tfn) dips below zero near tfn≈0
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val tfn = tf * log2(1.0d + (cParam * avgdl) / docLen)
@@ -171,6 +178,7 @@ object Scoring {
   /** DPH hypergeometric, parameter-free (`DPH.java:42-53`). */
   case object DPH extends Model {
     val name = "DPH"
+    override val ubSafe = false // (1−tf/dl)² factor collapses toward tf≈dl
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val f = relFreq(tf, docLen)
@@ -189,6 +197,7 @@ object Scoring {
   /** DLH13 (`DLH13.java:22-31`, k=0.5 from `DLH.java:18`). */
   case object DLH13 extends Model {
     val name = "DLH13"
+    override val ubSafe = false // non-monotone in tf via the (1−tf/dl) term
     private val k = 0.5d
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
@@ -206,6 +215,7 @@ object Scoring {
   /** DFRee, parameter-free (`DFRee.java:45-66`). */
   case object DFRee extends Model {
     val name = "DFRee"
+    override val ubSafe = false // cross terms are non-monotone in tf
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val prior = tf / docLen
@@ -340,6 +350,9 @@ object Scoring {
    * (`Delegate.java:17-26`). */
   final case class Delegate(inner: Model) extends Model {
     val name = s"DFI_${inner.name}"
+    // gated score ≤ inner score and the gate opens widest at minDocLen, so
+    // the inner bound stays valid iff the inner model's is
+    override def ubSafe: Boolean = inner.ubSafe
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val eij = (cf * docLen) / c

@@ -32,20 +32,37 @@ object Histograms {
       .groupBy("term", "bin").agg(count(lit(1)).as("cnt"))
 
   /** Standard normal CDF via commons-math3 (the exact library the reference
-   * uses, `freq/Phi.java:18,75`) — ships in /opt/spark/jars. */
-  val phiUdf: UserDefinedFunction = udf { (x: Double) =>
+   * uses, `freq/Phi.java:18,75`) — ships in /opt/spark/jars. One
+   * distribution instance per executor, not per row. */
+  private val stdNormal =
     new org.apache.commons.math3.distribution.NormalDistribution(null, 0d, 1d)
-      .cumulativeProbability(x)
+  val phiUdf: UserDefinedFunction = udf { (x: Double) => stdNormal.cumulativeProbability(x) }
+
+  /** Φ⁻¹(j/bins) bin boundaries, j = 1..bins−1 (commons-math3 inverse CDF —
+   * same library as the reference's Φ). */
+  def phiBinBoundaries(bins: Int): Array[Double] = {
+    require(bins >= 2)
+    Array.tabulate(bins - 1)(j => stdNormal.inverseCumulativeProbability((j + 1).toDouble / bins))
   }
 
   /** A5 — Phi distribution (`freq/Phi.java:46-90`):
-   * pct = Φ((tf - e_ij)/√e_ij), e_ij = cf·dl/C. */
+   * pct = Φ((tf - e_ij)/√e_ij), e_ij = cf·dl/C.
+   *
+   * Binning `Φ(z)` with [[binCol]] at boundaries j/bins is equivalent to
+   * counting how many z-boundaries `Φ⁻¹(j/bins)` the raw z crosses (Φ is
+   * strictly increasing; `Φ(z)=1.0` exactly only past every boundary, which
+   * lands in the top bin either way) — so the bin is native column math, no
+   * CDF per row, and a SQL oracle can mirror it with the same 9 constants. */
   def phi(termDocs: DataFrame, dict: DataFrame, stats: CorpusStats,
           terms: Seq[String], bins: Int): DataFrame = {
     val e = (col("cf") * col("docLen")).cast("double") / lit(stats.numTokens.toDouble)
+    val z = (col("tf").cast("double") - e) / sqrt(e)
+    val bin = phiBinBoundaries(bins).foldLeft(lit(1)) { (acc, b) =>
+      acc + when(z >= lit(b), lit(1)).otherwise(lit(0))
+    }
     termDocs.filter(col("term").isin(terms: _*))
       .join(broadcast(dict.filter(col("term").isin(terms: _*)).select("term", "cf")), "term")
-      .withColumn("bin", binCol(phiUdf((col("tf").cast("double") - e) / sqrt(e)), bins))
+      .withColumn("bin", bin.cast("int"))
       .groupBy("term", "bin").agg(count(lit(1)).as("cnt"))
   }
 
@@ -54,23 +71,35 @@ object Histograms {
    * (tf+1)/(dl+1); ALL OTHER docs bin 1/(dl+1) (the reference realizes the
    * complement with a MatchAll + MUST_NOT query; here a left-anti join). */
   def zero(termDocs: DataFrame, docs: DataFrame, terms: Seq[String], bins: Int): DataFrame = {
-    val matching = termDocs.filter(col("term").isin(terms: _*))
-      .withColumn("bin", binCol(
-        (col("tf").cast("double") + 1) / (col("docLen").cast("double") + 1), bins))
-      .select("term", "bin")
-
-    // per term: docs NOT containing it (left_anti), binned at tf=0
     val spark = termDocs.sparkSession
     import spark.implicits._
-    val termsDf = broadcast(terms.toDF("term"))
-    val nonMatching = docs.select(col("docId"), col("docLen")).crossJoin(termsDf)
-      .join(termDocs.filter(col("term").isin(terms: _*)).select("docId", "term"),
-        Seq("docId", "term"), "left_anti")
-      .withColumn("bin", binCol(lit(1.0) / (col("docLen").cast("double") + 1), bins))
-      .select("term", "bin")
+
+    // The tf=0 bin depends only on docLen, so the complement needs NO join
+    // against the corpus: bin ALL docs by docLen once (bins rows), subtract
+    // each term's matching docs' docLen-bin counts. One broadcast-pruned
+    // posting scan + one docs scan — no N×|terms| crossJoin at any scale.
+    val mBin = binCol((col("tf").cast("double") + 1) / (col("docLen").cast("double") + 1), bins)
+    val dBin = binCol(lit(1.0) / (col("docLen").cast("double") + 1), bins)
+
+    // single scan of the filtered postings: counts per (term, match-bin, docLen-bin)
+    val grouped = termDocs.filter(col("term").isin(terms: _*))
+      .groupBy(col("term"), mBin.as("mbin"), dBin.as("dbin"))
+      .agg(count(lit(1)).as("c")) // ≤ |terms|·(bins+1)² rows
+    val matching = grouped.groupBy(col("term"), col("mbin").as("bin"))
+      .agg(sum("c").as("cnt"))
+
+    val allBins = docs.withColumn("bin", dBin).groupBy("bin")
+      .agg(count(lit(1)).as("total")) // ≤ bins rows
+    val matchedByDlBin = grouped.groupBy(col("term"), col("dbin").as("bin"))
+      .agg(sum("c").as("mcnt"))
+    val nonMatching = terms.toDF("term").crossJoin(allBins) // tiny × tiny
+      .join(matchedByDlBin, Seq("term", "bin"), "left")
+      .select(col("term"), col("bin"),
+        (col("total") - coalesce(col("mcnt"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
 
     matching.unionByName(nonMatching)
-      .groupBy("term", "bin").agg(count(lit(1)).as("cnt"))
+      .groupBy("term", "bin").agg(sum("cnt").as("cnt"))
   }
 
   /** A6b — Dirichlet-smoothed distribution
