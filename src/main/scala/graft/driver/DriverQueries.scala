@@ -367,15 +367,29 @@ object DriverQueries {
         |SELECT term, CASE WHEN v = 10 THEN v ELSE v + 1 END AS bin, count(*) AS cnt
         |FROM j GROUP BY 1, 2""".stripMargin)),
 
-    // Phi histogram (freq/Phi.java:46-90) — commons-math3 normal CDF has no
-    // DuckDB twin, so this is a rows-only check; the binning is unit-tested.
+    // Phi histogram (freq/Phi.java:46-90). DuckDB has no normal CDF, but
+    // binning Φ(z) at 0.1·j boundaries ≡ counting crossed Φ⁻¹(0.1·j)
+    // constants (Φ strictly increasing) — so the oracle compares the same
+    // z = (tf−e)/√e against the 9 precomputed inverse-CDF doubles.
     Spec("a5_phi_histogram",
       (s, d) => {
         val td = termDocs(s, d)
         Histograms.phi(td, dict(s, d), corpusStats(s, d),
           histTerms, 10)
       },
-      None),
+      Some {
+        val binSql = Histograms.phiBinBoundaries(10)
+          .map(b => s"+ (CASE WHEN z >= $b THEN 1 ELSE 0 END)").mkString(" ")
+        s"""WITH $CTES,
+          |j AS (SELECT tf.term AS term,
+          |        (tf.tf * 1.0 - ((dict.cf * dl.dl) * 1.0 / st.c))
+          |          / sqrt((dict.cf * dl.dl) * 1.0 / st.c) AS z
+          |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+          |      JOIN dict ON tf.term = dict.term CROSS JOIN st
+          |      WHERE tf.term IN ${sqlTermList(histTerms)})
+          |SELECT term, (1 $binSql) AS bin, count(*) AS cnt
+          |FROM j GROUP BY 1, 2""".stripMargin
+      }),
 
     // QPP aggregation over per-term idf (qpp/Aggregate.java).
     Spec("a10b_qpp_agg",
@@ -545,6 +559,76 @@ object DriverQueries {
     """corp AS (SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25)""".stripMargin
 
+  /** dupCorpus plus planted NEAR-duplicates: copies of 25 ≤ doc_id < 50 at
+   * +200000 with one appended token — high-but-not-1.0 shingle Jaccard, so
+   * the MinHash/LSH gate exercises genuine near-dup recall, with the exact
+   * shingle Jaccard of every planted pair recomputed independently by the
+   * DuckDB oracle. */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame =
+    dupCorpus(s, d).unionByName(
+      Transcripts.table(s, d, "documents").select("doc_id", "text")
+        .filter(col("doc_id") >= 25 && col("doc_id") < 50)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" xnearx")).as("text")))
+  private val nearDupCorpusCte =
+    """corp AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+      |  UNION ALL SELECT doc_id + 200000 AS doc_id, text || ' xnearx' AS text
+      |    FROM documents WHERE doc_id >= 25 AND doc_id < 50)""".stripMargin
+  /** The planted (id1, id2) truth pairs of [[nearDupCorpus]]. */
+  private val plantedPairsSql =
+    """truth(id1, id2) AS (
+      |  SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id < 25
+      |  UNION ALL SELECT doc_id, doc_id + 200000 FROM documents WHERE doc_id >= 25 AND doc_id < 50)""".stripMargin
+  private def plantedPairsDf(s: SparkSession, d: String): DataFrame = {
+    val base = Transcripts.table(s, d, "documents").select(col("doc_id").cast("long").as("id1"))
+    base.filter(col("id1") < 25).select(col("id1"), (col("id1") + 100000).as("id2"))
+      .unionByName(base.filter(col("id1") >= 25 && col("id1") < 50)
+        .select(col("id1"), (col("id1") + 200000).as("id2")))
+  }
+
+  /** SimHash fixture docs (constant texts): two heavy anchor tokens make
+   * ~half the fingerprint bits decisive while a light distinct-token tail
+   * leaves the rest near the voting margin — single-token substitutions
+   * land at small nonzero hamming distances. Expected fingerprint distances
+   * are computed locally from the same public simhash definition and pinned
+   * in the oracle VALUES; the gate checks the DISTRIBUTED chunk-bucketed
+   * join reproduces them end-to-end. */
+  private val simFixtures: Seq[(Long, String)] = {
+    def text(heavy: Seq[(String, Int)], tail: Seq[String]): String =
+      (heavy.flatMap { case (t, n) => Seq.fill(n)(t) } ++ tail).mkString(" ")
+    val tail0 = (0 until 50).map(i => s"w$i")
+    Seq(
+      900001L -> text(Seq("alpha" -> 15, "beta" -> 15), tail0),
+      900002L -> text(Seq("alpha" -> 15, "beta" -> 15), tail0.updated(7, "xsubx")),
+      900003L -> text(Seq("alpha" -> 15, "beta" -> 15), tail0.updated(7, "xsubx").updated(31, "ysuby")),
+      900004L -> text(Seq("alpha" -> 15, "beta" -> 15), tail0.updated(3, "zsubz").updated(19, "qsubq").updated(44, "vsubv")))
+  }
+  private lazy val simExpected: Seq[(Long, Long, Int)] = {
+    val fps = simFixtures.map { case (id, t) =>
+      id -> graft.pipeline.Dedup.simhash64(Analyzer.analyze(t)) }
+    val fixturePairs = for {
+      (i1, f1) <- fps; (i2, f2) <- fps if i1 < i2
+      dd = graft.pipeline.Dedup.hamming(f1, f2) if dd <= 3
+    } yield (i1, i2, dd)
+    (0L until 25L).map(i => (i, i + 100000L, 0)) ++ fixturePairs
+  }
+
+  /** Exact cosine top-5 of vec_id < 10 — oracle for BOTH the brute-force
+   * baseline (s1) and the exhaustively-probed LSH path (s2b). */
+  private val s1Sql: String =
+    s"""WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |              unnest(range(len(embedding))) AS pos FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM el GROUP BY vec_id),
+      |dots AS (SELECT q.vec_id AS qid, c.vec_id AS id, sum(c.v * q.v) AS dot
+      |         FROM el c JOIN el q ON c.pos = q.pos AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+      |         GROUP BY q.vec_id, c.vec_id),
+      |cosv AS (SELECT qid, id, round(dot / (nc.nn * nq.nn), 6) AS cos
+      |         FROM dots JOIN nrm nc ON dots.id = nc.vec_id JOIN nrm nq ON dots.qid = nq.vec_id)
+      |SELECT qid, id, rank, cos FROM (
+      |  SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rank, cos
+      |  FROM cosv) WHERE rank <= 5""".stripMargin
+
   val specs3: Seq[Spec] = Seq(
 
     // Exact dedup: content-hash groups with >1 member.
@@ -569,17 +653,59 @@ object DriverQueries {
         |FROM inter JOIN nd n1 ON inter.id1 = n1.doc_id JOIN nd n2 ON inter.id2 = n2.doc_id
         |WHERE icnt / (n1.n + n2.n - icnt) >= 0.8""".stripMargin)),
 
-    // MinHash + LSH near-dup candidates, exact-Jaccard verified (rows-only:
-    // the signature/banding internals are property-tested in DedupSpec).
+    // MinHash + LSH near-dup pipeline (shingle → signature → band-bucket
+    // join → exact-Jaccard verify), gated on planted-pair recall: the
+    // exact-dup pairs collide with certainty, the near-dup pairs (shingle
+    // J ≈ (n−2)/(n−1)) with banding probability ≈ 1 (deterministic under
+    // the fixed seed + corpus), and the oracle recomputes each planted
+    // pair's exact 3-gram Jaccard independently in SQL.
     Spec("d3_minhash_lsh",
-      (s, d) => graft.pipeline.Dedup.minhashLsh(dupCorpus(s, d), "doc_id", "text",
-        shingleK = 3, bands = 8, rows = 4, threshold = 0.5),
-      None),
+      (s, d) => graft.pipeline.Dedup.minhashLsh(nearDupCorpus(s, d), "doc_id", "text",
+          shingleK = 3, bands = 8, rows = 4, threshold = 0.5)
+        .join(broadcast(plantedPairsDf(s, d)), Seq("id1", "id2"))
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard")),
+      Some(s"""WITH $nearDupCorpusCte,
+        |$plantedPairsSql,
+        |ids AS (SELECT id1 AS id FROM truth UNION SELECT id2 FROM truth),
+        |tokp AS (SELECT c.doc_id AS doc_id,
+        |           unnest(string_split(c.text, ' ')) AS term,
+        |           unnest(range(len(string_split(c.text, ' ')))) AS pos
+        |         FROM corp c JOIN ids ON c.doc_id = ids.id),
+        |sh0 AS (SELECT doc_id,
+        |          term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS sh
+        |        FROM tokp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM sh0 WHERE sh IS NOT NULL),
+        |ns AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT t.id1 AS id1, t.id2 AS id2, count(*) * 1.0 AS icnt
+        |          FROM truth t JOIN sh a ON a.doc_id = t.id1
+        |          JOIN sh b ON b.doc_id = t.id2 AND a.sh = b.sh
+        |          GROUP BY t.id1, t.id2)
+        |SELECT inter.id1 AS id1, inter.id2 AS id2,
+        |  round(icnt / (n1.n + n2.n - icnt), 6) AS jaccard
+        |FROM inter JOIN ns n1 ON inter.id1 = n1.doc_id JOIN ns n2 ON inter.id2 = n2.doc_id
+        |WHERE icnt / (n1.n + n2.n - icnt) >= 0.5""".stripMargin)),
 
-    // SimHash near-dup pairs within hamming ≤ 3 (rows-only; unit-tested).
+    // SimHash near-dup pairs (fingerprint → 16-bit-chunk buckets → hamming
+    // verify), gated on planted pairs: exact dups MUST surface at distance
+    // 0, and the constant-text fixtures' expected distances (computed from
+    // the same public simhash definition driver-side) pin the tokenize →
+    // weighted-bit-vote → bucket-join path end-to-end.
     Spec("d4_simhash_pairs",
-      (s, d) => graft.pipeline.Dedup.simhashPairs(dupCorpus(s, d), "doc_id", "text", maxDist = 3),
-      None),
+      (s, d) => {
+        import s.implicits._
+        val corpus = dupCorpus(s, d)
+          .unionByName(simFixtures.toDF("doc_id", "text"))
+        val truth = simExpected.map { case (a, b, _) => (a, b) }.toDF("id1", "id2")
+        graft.pipeline.Dedup.simhashPairs(corpus, "doc_id", "text", maxDist = 3)
+          .join(broadcast(truth), Seq("id1", "id2"))
+          .select("id1", "id2", "dist")
+      },
+      Some {
+        val rows = simExpected.map { case (a, b, dd) => s"($a, $b, $dd)" }.mkString(", ")
+        s"""SELECT CAST(id1 AS BIGINT) AS id1, CAST(id2 AS BIGINT) AS id2,
+           |  CAST(dist AS INT) AS dist
+           |FROM (VALUES $rows) AS v(id1, id2, dist)""".stripMargin
+      }),
 
     // Brute-force cosine ANN baseline: top-5 neighbours of vec_id < 10.
     Spec("s1_ann_cosine_topk",
@@ -587,28 +713,38 @@ object DriverQueries {
         val emb = Transcripts.table(s, d, "embeddings")
         graft.pipeline.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
       },
-      Some(s"""WITH el AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
-        |              unnest(range(len(embedding))) AS pos FROM embeddings),
-        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nn FROM el GROUP BY vec_id),
-        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS id, sum(c.v * q.v) AS dot
-        |         FROM el c JOIN el q ON c.pos = q.pos AND q.vec_id < 10 AND c.vec_id <> q.vec_id
-        |         GROUP BY q.vec_id, c.vec_id),
-        |cosv AS (SELECT qid, id, round(dot / (nc.nn * nq.nn), 6) AS cos
-        |         FROM dots JOIN nrm nc ON dots.id = nc.vec_id JOIN nrm nq ON dots.qid = nq.vec_id)
-        |SELECT qid, id, rank, cos FROM (
-        |  SELECT qid, id, CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, id ASC) AS INT) AS rank, cos
-        |  FROM cosv) WHERE rank <= 5""".stripMargin)),
+      Some(s1Sql)),
 
-    // LSH-bucketed ANN (rows-only; recall vs brute force asserted in tests).
-    // 8 planes + 2-bit multi-probe: ~14% of buckets probed — enough recall
-    // to be meaningful on the unclustered synthetic embeddings.
+    // LSH-bucketed ANN at the honest scale config (8 planes, 2-bit
+    // multi-probe ≈ 14% of buckets), gated on planted recall: an exact copy
+    // of each query vector (vec_id+500000) shares its bucket by definition,
+    // so it MUST come back at cosine 1.0 — any bucketing/probing/rescore
+    // regression drops or mis-scores the row. Partial-probe recall vs brute
+    // force is asserted in SimilaritySpec.
     Spec("s2_ann_lsh_topk",
+      (s, d) => {
+        val emb = Transcripts.table(s, d, "embeddings").select("vec_id", "embedding")
+        val q = emb.filter(col("vec_id") < 10)
+        val corpus = emb.unionByName(
+          q.select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+        graft.pipeline.Similarity.lshTopK(corpus, q, k = 5, planes = 8, probeBits = 2)
+          .filter(col("id") === col("qid") + 500000)
+          .select("qid", "id", "cos")
+      },
+      Some("""SELECT vec_id AS qid, vec_id + 500000 AS id, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // Same LSH machinery probed EXHAUSTIVELY (probeBits = planes → every
+    // bucket): the bucket join + in-bucket rescore must then reproduce the
+    // brute-force top-k exactly, hash-gated against the s1 oracle — a full
+    // end-to-end check of the bucket/probe/dedup/rescore pipeline.
+    Spec("s2b_ann_lsh_full",
       (s, d) => {
         val emb = Transcripts.table(s, d, "embeddings")
         graft.pipeline.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-          planes = 8, probeBits = 2)
+          planes = 8, probeBits = 8)
       },
-      None),
+      Some(s1Sql)),
 
     // Per-doc text-quality statistics (all column math).
     Spec("x1_textstats",
@@ -635,12 +771,32 @@ object DriverQueries {
           |LEFT JOIN st ON base.doc_id = st.doc_id""".stripMargin
       }),
 
-    // Language ID heuristic (rows-only; behavior pinned by unit tests on
-    // natural-language samples — the synthetic corpus is language-less).
+    // Language ID heuristic. Marker counting is non-overlapping, so DuckDB
+    // mirrors the whole predictor: per-language marker-occurrence counts via
+    // length(replace(...)), same normalization, same argmax tie order
+    // (score DESC, lang DESC) — a full hash gate over the real corpus, with
+    // natural-language behavior additionally pinned by unit tests.
     Spec("x2_langid",
-      (s, d) => graft.pipeline.TextAnalysis.withLanguage(
-        Transcripts.table(s, d, "documents"), "doc_id", "text"),
-      None),
+      (s, d) => graft.pipeline.TextAnalysis.withLanguageScored(
+          Transcripts.table(s, d, "documents"), "doc_id", "text")
+        .select(col("id"), col("lang_pred"), round(col("lang_score"), 6).as("lang_score")),
+      Some {
+        def esc(m: String) = m.replace("'", "''")
+        val perLang = graft.pipeline.TextAnalysis.PROFILES.toSeq.sortBy(_._1)
+          .map { case (lang, ms) =>
+            val cnt = ms.map(m =>
+              s"(length(s) - length(replace(s, '${esc(m)}', ''))) // ${m.length}").mkString(" + ")
+            s"SELECT id, '$lang' AS lang, CAST($cnt AS DOUBLE) / greatest(1, length(s)) AS score FROM p"
+          }.mkString(" UNION ALL ")
+        s"""WITH p AS (SELECT doc_id AS id, ' ' || lower(text) || ' ' AS s FROM documents),
+          |sc AS ($perLang),
+          |best AS (SELECT id, lang, score,
+          |           row_number() OVER (PARTITION BY id ORDER BY score DESC, lang DESC) AS rn
+          |         FROM sc)
+          |SELECT id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred,
+          |  round(CASE WHEN score = 0 THEN CAST(0.0 AS DOUBLE) ELSE score END, 6) AS lang_score
+          |FROM best WHERE rn = 1""".stripMargin
+      }),
 
     // Normalization fingerprint: md5 of analyzed tokens re-joined — equals
     // md5(text) exactly because the corpus text is already canonical.
@@ -679,12 +835,26 @@ object DriverQueries {
         |         FROM dots JOIN nrm n1 ON dots.id1 = n1.vec_id JOIN nrm n2 ON dots.id2 = n2.vec_id)
         |SELECT id1, id2, cos FROM cosv WHERE cos >= 0.25""".stripMargin)),
 
-    // Multimodal stub pipeline: binary payload → batch decode → metadata +
-    // feature norm (rows-only; codec determinism unit-tested).
+    // Multimodal stub pipeline: binary payload → mapPartitions batch decode
+    // → metadata + feature norm. The gated columns (kind routing, byte
+    // count, feature-vector norm over the first 8 payload bytes / 256) are
+    // all SQL-derivable for the ASCII corpus, so the Dataset-encoding +
+    // mapPartitions plumbing is hash-verified end-to-end; the hash-derived
+    // width/height/duration stubs stay unit-tested (FakeCodec determinism).
     Spec("m1_multimodal_features",
       (s, d) => graft.pipeline.Multimodal.featuresOf(
-        Transcripts.table(s, d, "documents"), "doc_id", "text"),
-      None)
+          Transcripts.table(s, d, "documents"), "doc_id", "text")
+        .select("id", "kind", "n_bytes", "feature_norm"),
+      Some {
+        val comps = (1 to 8).map(i =>
+          s"(CASE WHEN length(text) >= $i THEN CAST(ord(substr(text, $i, 1)) AS DOUBLE) / 256.0 ELSE CAST(0 AS DOUBLE) END)")
+        val sumSq = comps.map(t => s"$t * $t").mkString(" + ")
+        s"""SELECT doc_id AS id,
+          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+          |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+          |  round(sqrt($sumSq), 6) AS feature_norm
+          |FROM documents""".stripMargin
+      })
   )
 
   // ---- batch 4: judged-frequency dump, query stats, multi-model pass ----

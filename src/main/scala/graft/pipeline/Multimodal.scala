@@ -43,8 +43,11 @@ object Multimodal {
         width = (math.abs(h) % 1920).toInt + 1,
         height = (math.abs(h >> 16) % 1080).toInt + 1,
         durationMs = if (row.kind == "image") 0L else math.abs(h >> 32) % 600000L,
+        // /256 (a power of two) keeps each component exactly representable
+        // in BOTH float and double, so a SQL oracle's `byte / 256.0` double
+        // math reproduces the float feature values bit-for-bit
         features = Array.tabulate(8)(i =>
-          if (i < n) (row.bytes(i) & 0xFF).toFloat / 255f else 0f))
+          if (i < n) (row.bytes(i) & 0xFF).toFloat / 256f else 0f))
     }
   }
 

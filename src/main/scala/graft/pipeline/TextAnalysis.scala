@@ -46,32 +46,47 @@ object TextAnalysis {
 
   /** Tiny per-language marker profiles: frequent function words + diagnostic
    * character n-grams. Deterministic scoring: Σ marker hits, normalized. */
-  private val PROFILES: Map[String, Seq[String]] = Map(
+  val PROFILES: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " of ", " is ", " to ", "th", "ing ", " you "),
     "es" -> Seq(" el ", " la ", " de ", " que ", " los ", "ción", " es ", " un "),
     "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", "sch", " ein ", "ung "),
     "fr" -> Seq(" le ", " la ", " les ", " des ", " est ", " une ", "eau", " qui "),
     "zh" -> Seq("的", "是", "了", "在", "我", "不", "人", "有"))
 
-  /** Predict the best-scoring language; ties broken lexicographically. */
-  def languageOf(text: String): String = {
-    if (text == null || text.isEmpty) return "und"
+  /** Best-scoring language plus its score. Marker occurrences are counted
+   * NON-overlapping (advance past each match) — the same count a SQL oracle
+   * gets from `(len(s) − len(replace(s, m, ''))) / len(m)`, which makes the
+   * whole predictor hash-gateable against DuckDB. Ties in score go to the
+   * lexicographically larger language (max of the (score, lang) pair). */
+  def languageScoreOf(text: String): (String, Double) = {
+    if (text == null || text.isEmpty) return ("und", 0.0)
     val padded = " " + text.toLowerCase + " "
     val scores = PROFILES.map { case (lang, markers) =>
       val hits = markers.map { m =>
         var c = 0; var i = padded.indexOf(m)
-        while (i >= 0) { c += 1; i = padded.indexOf(m, i + 1) }
+        while (i >= 0) { c += 1; i = padded.indexOf(m, i + m.length) }
         c
       }.sum
       (lang, hits.toDouble / math.max(1, padded.length))
     }
     val best = scores.maxBy { case (lang, s) => (s, lang) }
-    if (best._2 == 0.0) "und" else best._1
+    if (best._2 == 0.0) ("und", 0.0) else best
   }
+
+  /** Predict the best-scoring language; ties broken as in [[languageScoreOf]]. */
+  def languageOf(text: String): String = languageScoreOf(text)._1
 
   def withLanguage(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val f = udf(languageOf _)
     df.select(col(idCol).as("id"), f(col(textCol)).as("lang_pred"))
+  }
+
+  /** Language prediction with the winning score (raw double — round at the
+   * query boundary for cross-engine compares). */
+  def withLanguageScored(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = udf((t: String) => languageScoreOf(t))
+    df.select(col(idCol).as("id"), f(col(textCol)).as("ls"))
+      .select(col("id"), col("ls._1").as("lang_pred"), col("ls._2").as("lang_score"))
   }
 
   // ---- fingerprints --------------------------------------------------------
