@@ -33,7 +33,11 @@ object Analyzer {
   object Tag {
     case object NoStem extends Tag { val name = "NoStem" }
     case object NoStemPossessive extends Tag { val name = "NoStemPossessive" }
-    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive)
+    /** Reference Snowball chain: standard tokenizer → lowercase →
+     * englishpossessive → snowballporter(English)
+     * (`Analyzers.java:103-109`); the stemmer is [[Porter2]]. */
+    case object Snowball extends Tag { val name = "Snowball" }
+    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball)
     def of(name: String): Tag = all.find(_.name.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown analyzer tag: $name"))
   }
@@ -127,6 +131,8 @@ object Analyzer {
     tag match {
       case Tag.NoStem           => base.result()
       case Tag.NoStemPossessive => base.result().map(stripPossessive).filter(_.nonEmpty)
+      case Tag.Snowball =>
+        base.result().map(t => Porter2.stem(stripPossessive(t))).filter(_.nonEmpty)
     }
   }
 

@@ -939,9 +939,71 @@ object DriverQueries {
         |FROM m JOIN dl ON m.doc_id = dl.doc_id GROUP BY m.qid""".stripMargin))
   )
 
+  // ---- batch 5: stemming ----
+
+  /** Hand-derived Porter2 golden pairs. Expected stems are derived from the
+   * PUBLISHED Snowball spec (snowballstem.org, English/Porter2) — written
+   * down independently of graft.analysis.Porter2, so the gate is a real
+   * oracle for the implementation, covering: exceptional forms, every
+   * step's suffix families, R1/R2 gating (incl. the famous no-backtrack
+   * `agreement` case), double-undoubling, short-word e-restoration, and
+   * the y/Y consonant marking. */
+  val stemGolden: Seq[(String, String)] = Seq(
+    // step 1a plural forms
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "tie",
+    "cries" -> "cri", "flies" -> "fli", "dies" -> "die",
+    "gas" -> "gas", "gaps" -> "gap", "kiwis" -> "kiwi", "dogs" -> "dog",
+    "conspicuous" -> "conspicu",
+    // exceptional forms + post-1a invariants
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "ugly" -> "ugli", "only" -> "onli", "singly" -> "singl", "gently" -> "gentl",
+    "sky" -> "sky", "news" -> "news", "bias" -> "bias",
+    "exceed" -> "exceed", "proceed" -> "proceed", "inning" -> "inning",
+    // step 1b: eed / ed / ing with at-bl-iz, double, short-word repair
+    "agreed" -> "agre", "bled" -> "bled", "sized" -> "size",
+    "hopping" -> "hop", "hoping" -> "hope", "running" -> "run",
+    "singing" -> "sing", "failing" -> "fail", "filing" -> "file",
+    "mating" -> "mate", "matting" -> "mat", "meeting" -> "meet",
+    "meetings" -> "meet", "falling" -> "fall", "dropped" -> "drop",
+    "owed" -> "owe", "arguing" -> "argu", "bowing" -> "bow", "taxing" -> "tax",
+    // y handling (1c + consonant marking)
+    "cry" -> "cri", "crying" -> "cri", "by" -> "by", "say" -> "say",
+    "saying" -> "say", "enjoying" -> "enjoy", "yellow" -> "yellow",
+    // steps 2-4 suffix chains and region gating
+    "knightly" -> "knight", "national" -> "nation", "rational" -> "ration",
+    "nationally" -> "nation", "conditional" -> "condit",
+    "electricity" -> "electr", "electrical" -> "electr",
+    "hopefulness" -> "hope", "agreement" -> "agreement",
+    "replacement" -> "replac", "communication" -> "communic",
+    "abilities" -> "abil", "ability" -> "abil", "visualization" -> "visual",
+    "radically" -> "radic", "luckily" -> "luckili", "happily" -> "happili",
+    "geology" -> "geolog", "authentication" -> "authent",
+    "sensational" -> "sensat", "relational" -> "relat",
+    "adoption" -> "adopt", "decision" -> "decis", "argument" -> "argument",
+    "runner" -> "runner", "generate" -> "generat", "generously" -> "generous",
+    "pirate" -> "pirat")
+
+  val specs5: Seq[Spec] = Seq(
+    // G1 — Porter2 golden pairs THROUGH the distributed analyze chain
+    // (Dataset → analyze(_, Snowball) per row), hash-gated against the
+    // hand-derived VALUES above.
+    Spec("g1_stem_golden",
+      (s, d) => {
+        import s.implicits._
+        stemGolden.map(_._1).toDF("word")
+          .as[String]
+          .map(w => (w, Analyzer.analyzeQuery(w, Analyzer.Tag.Snowball).mkString(" ")))
+          .toDF("word", "stem")
+      },
+      Some {
+        val rows = stemGolden.map { case (w, st) => s"('$w', '$st')" }.mkString(", ")
+        s"SELECT word, stem FROM (VALUES $rows) AS v(word, stem)"
+      })
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (specs ++ specs2 ++ specs3 ++ specs4).map(s => s.name -> s.fn).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5).map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    (specs ++ specs2 ++ specs3 ++ specs4).flatMap(s => s.oracle.map(s.name -> _)).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5).flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

@@ -50,6 +50,79 @@ object Selection {
   def agreeOnOrder(dfs: Seq[Long], cfs: Seq[Long]): Boolean =
     dfs.size < 2 || kendallTau(dfs.map(_.toDouble), cfs.map(_.toDouble)) == 1.0
 
+  /** Per-term statistics under one analyzer tag, aligned by query-term
+   * position (reference `TermStats`: docFreq, totalTermFreq). */
+  final case class TermStat(df: Long, cf: Long)
+
+  /** Reference ClueWeb09 binning constants (`SelectionMethods.TermTFDF`
+   * `maxDF`/`maxTF`/`NumberOfBIN`). */
+  val DefaultMaxDf: Long = 20450000L
+  val DefaultMaxTf: Long = 893148000L
+  val DefaultBins: Int = 10
+  val KendallTauThreshold: Double = 1.0
+
+  /**
+   * Full selective-stemming tag prediction — all 12 reference selection
+   * methods (`SelectionMethods.getPredictedTag`, `SelectionMethods.java:
+   * 79-97` dispatch; bodies at 98-330):
+   *
+   *  - MSTTF / MSTDF (+Binning): stable-sort the query's terms by cf / df
+   *    under each tag; if the minimum-stat term POSITION differs between
+   *    tags → tag1 (NoStem), else tag2 (stemmed).
+   *  - TFOrder / DFOrder (+Binning): if the full sorted position sequences
+   *    differ → tag2 (stemmed), else tag1.
+   *  - KendallTauTFOrder / KendallTauDFOrder (+Binning): single-term
+   *    queries → tag1; else Kendall's tau between the two sorted position
+   *    sequences (`KendallVal`, identical sequences short-cut to 1); tau ≥
+   *    threshold → tag1, else tag2.
+   *
+   * Binning deviation: the reference computes `(int) TF / size` — a 32-bit
+   * truncation that overflows for cf > 2³¹ on its own corpus; we keep the
+   * division in 64 bits (`TF / size`), which is the evident intent.
+   *
+   * @param stats1 per-term stats under tag1 (query order)
+   * @param stats2 per-term stats under tag2 (same order)
+   */
+  def predictTag(method: String,
+                 stats1: Seq[TermStat], stats2: Seq[TermStat],
+                 tag1: String, tag2: String,
+                 bins: Int = DefaultBins,
+                 maxDf: Long = DefaultMaxDf, maxTf: Long = DefaultMaxTf,
+                 tauThreshold: Double = KendallTauThreshold): String = {
+    require(stats1.nonEmpty && stats1.size == stats2.size,
+      "need aligned, non-empty per-tag term stats")
+    val useTf = method.contains("TF")
+    val binning = method.endsWith("Binning")
+    def values(s: Seq[TermStat]): Seq[Long] = {
+      val raw = s.map(t => if (useTf) t.cf else t.df)
+      if (!binning) raw
+      else {
+        val size = math.max(1L, (if (useTf) maxTf else maxDf) / bins)
+        raw.map(_ / size)
+      }
+    }
+    // stable sort by value => ties keep query order, like ArrayList.sort
+    def sortedIdx(vs: Seq[Long]): Seq[Int] =
+      vs.zipWithIndex.sortBy(_._1).map(_._2)
+    val (idx1, idx2) = (sortedIdx(values(stats1)), sortedIdx(values(stats2)))
+
+    method.stripSuffix("Binning") match {
+      case "MSTTF" | "MSTDF" =>
+        if (idx1.head != idx2.head) tag1 else tag2
+      case "TFOrder" | "DFOrder" =>
+        if (idx1 != idx2) tag2 else tag1
+      case "KendallTauTFOrder" | "KendallTauDFOrder" =>
+        if (stats1.size == 1) tag1
+        else {
+          val tau =
+            if (idx1 == idx2) 1.0
+            else kendallTau(idx1.map(_.toDouble), idx2.map(_.toDouble))
+          if (tau - tauThreshold >= 0) tag1 else tag2
+        }
+      case other => throw new IllegalArgumentException(s"unknown selection method: $other")
+    }
+  }
+
   /** J7 — majority vote of per-neighbor best models
    * (`knn/MajorityVoter`): most frequent label, ties → lexicographically
    * smallest. */

@@ -88,6 +88,40 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("BMW ≡ exact under the Snowball stemming tag (fresh stemmed index)") {
+    val tag = Analyzer.Tag.Snowball
+    val dir = Files.createTempDirectory("graft-idx-stem").toString
+    IndexBuild.build(turns, dir, tag, docsPerShard = 100)
+    val idx = IndexBuild.load(spark, dir)
+    // stemmed topics: inflected forms must hit the stemmed index
+    val stemTopics = topics :+ Topic(7, "needles running") // needle0? no — stems
+    val got = BlockMaxWand.search(idx, stemTopics, model, K, tag, sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    val td = Tokenize.termDocs(turns, tag)
+    val want = Exact.search(td, Dictionary.termStats(td),
+        Tokenize.corpusStats(Tokenize.docs(turns, tag)), stemTopics, model, K, tag,
+        sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("BMW refuses non-monotone models (block bounds would be unsound)") {
+    Seq(Scoring.DPH, Scoring.DLH13, Scoring.DFRee, Scoring.PL2c()).foreach { m =>
+      assert(!m.ubSafe)
+      intercept[IllegalArgumentException] {
+        BlockMaxWand.search(index, topics, m, K)
+      }
+    }
+    // the same queries run fine on the exact path
+    val td = Tokenize.termDocs(turns)
+    val r = Exact.search(td, Dictionary.termStats(td),
+      Tokenize.corpusStats(Tokenize.docs(turns)), topics, Scoring.DPH, K)
+    assert(r.count() > 0)
+  }
+
   test("decoded blocks reproduce the posting source exactly") {
     val viaBlocks = index.termDocs
       .select("docId", "docLen", "term", "tf")

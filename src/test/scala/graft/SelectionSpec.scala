@@ -39,4 +39,76 @@ class SelectionSpec extends AnyFunSuite {
     assert(sel(1) == "BM25" && sel(2) == "BM25")
     assert(sel(3) == "DPH" && sel(4) == "DPH")
   }
+
+  import Selection.{TermStat, predictTag}
+  private val NS = "NoStem"; private val SB = "Snowball"
+
+  test("predictTag: MST methods compare the minimum-stat term's position") {
+    // df order: NoStem min = term0; Snowball min = term1 → differ → NoStem
+    val s1 = Seq(TermStat(10, 100), TermStat(50, 500))
+    val s2 = Seq(TermStat(60, 600), TermStat(20, 200))
+    assert(predictTag("MSTDF", s1, s2, NS, SB) == NS)
+    assert(predictTag("MSTTF", s1, s2, NS, SB) == NS)
+    // same argmin under both tags → Stem
+    val s3 = Seq(TermStat(5, 50), TermStat(70, 700))
+    assert(predictTag("MSTDF", s1, s3, NS, SB) == SB)
+  }
+
+  test("predictTag: order methods choose Stem when the full order changed") {
+    val a = Seq(TermStat(1, 10), TermStat(2, 20), TermStat(3, 30))
+    val sameOrder = Seq(TermStat(10, 100), TermStat(20, 200), TermStat(30, 300))
+    val flipped = Seq(TermStat(30, 300), TermStat(20, 200), TermStat(10, 100))
+    assert(predictTag("DFOrder", a, sameOrder, NS, SB) == NS)
+    assert(predictTag("DFOrder", a, flipped, NS, SB) == SB)
+    assert(predictTag("TFOrder", a, flipped, NS, SB) == SB)
+  }
+
+  test("predictTag: KendallTau methods gate on tau ≥ threshold; 1-term → tag1") {
+    val a = Seq(TermStat(1, 10), TermStat(2, 20), TermStat(3, 30))
+    val agree = Seq(TermStat(5, 50), TermStat(6, 60), TermStat(7, 70))
+    val flipped = Seq(TermStat(30, 300), TermStat(20, 200), TermStat(10, 100))
+    assert(predictTag("KendallTauDFOrder", a, agree, NS, SB) == NS)
+    assert(predictTag("KendallTauDFOrder", a, flipped, NS, SB) == SB)
+    assert(predictTag("KendallTauTFOrder", Seq(TermStat(1, 1)), Seq(TermStat(9, 9)), NS, SB) == NS)
+    // relaxed threshold: a partial agreement (tau ≈ 0.33) passes at 0.3
+    val partial = Seq(TermStat(2, 20), TermStat(1, 10), TermStat(3, 30))
+    assert(predictTag("KendallTauDFOrder", a, partial, NS, SB, tauThreshold = 0.3) == NS)
+  }
+
+  test("predictTag: binning variants coarsen before comparing") {
+    // dfs 100 vs 900 fall in different fine orders but the same coarse bin
+    // when maxDf/bins is large
+    val a = Seq(TermStat(100, 0), TermStat(900, 0))
+    val b = Seq(TermStat(900, 0), TermStat(100, 0))
+    // bin size = 10000/10 = 1000 → both values bin 0 → stable sort keeps
+    // query order under BOTH tags → orders equal → NoStem
+    assert(predictTag("DFOrderBinning", a, b, NS, SB, bins = 10, maxDf = 10000L) == NS)
+    // fine-grained (unbinned) order differs → Stem
+    assert(predictTag("DFOrder", a, b, NS, SB) == SB)
+  }
+
+  test("predictTag end-to-end: real df/cf under NoStem vs Snowball") {
+    // tiny corpus where stemming collapses run/running/runs
+    val docs = Seq("running fast", "runs faster", "run fastest", "walk slow")
+    def stats(tag: graft.analysis.Analyzer.Tag, terms: Seq[String]): Seq[TermStat] = {
+      val tokensPerDoc = docs.map(d => graft.analysis.Analyzer.analyze(d, tag))
+      terms.map { t0 =>
+        val t = if (tag == graft.analysis.Analyzer.Tag.Snowball)
+          graft.analysis.Porter2.stem(t0) else t0
+        val df = tokensPerDoc.count(_.contains(t))
+        val cf = tokensPerDoc.map(_.count(_ == t)).sum
+        TermStat(df, cf)
+      }
+    }
+    val qTerms = Seq("running", "walk")
+    val ns = stats(graft.analysis.Analyzer.Tag.NoStem, qTerms)
+    val sb = stats(graft.analysis.Analyzer.Tag.Snowball, qTerms)
+    // NoStem: df(running)=1 = df(walk)=1 (tie keeps order); Snowball:
+    // df(run)=3 > df(walk)=1 → min term flips from position 0 to 1 → the
+    // order changed → DFOrder picks the stemmed tag
+    assert(ns == Seq(TermStat(1, 1), TermStat(1, 1)))
+    assert(sb == Seq(TermStat(3, 3), TermStat(1, 1)))
+    assert(predictTag("DFOrder", ns, sb, NS, SB) == SB)
+    assert(predictTag("KendallTauDFOrder", ns, sb, NS, SB) == SB)
+  }
 }
