@@ -984,6 +984,66 @@ object DriverQueries {
     "pirate" -> "pirat")
 
   val specs5: Seq[Spec] = Seq(
+
+    // MATF multi-aspect TF (MATF.java:14-202) per (qid, doc), qLen-aware —
+    // the full formula (RITF/LRTF blend, QLF, TDF) mirrored op-for-op in SQL.
+    Spec("r7_matf_scores",
+      (s, d) => {
+        val td = termDocs(s, d)
+        val st = corpusStats(s, d)
+        val qts = Exact.qtermStats(s, topics, dict(s, d), Analyzer.Tag.NoStem)
+        val in = graft.query.Scoring.In(
+          tf = col("tf").cast("double"), docLen = col("docLen").cast("double"),
+          df = col("df").cast("double"), cf = col("cf").cast("double"),
+          kf = lit(1.0d), n = lit(st.numDocs.toDouble), c = lit(st.numTokens.toDouble),
+          qLen = col("qLen").cast("double"))
+        td.join(broadcast(qts), Seq("term"))
+          .groupBy(col("qid"), col("docId").as("docid"))
+          .agg(round(sum(Scoring.MATF().expr(in) * col("mult")), 4).as("matf"))
+      },
+      Some(s"""WITH $CTES,
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |ql AS (SELECT qid, CAST(sum(mult) AS DOUBLE) AS qlen FROM qv GROUP BY qid)
+        |SELECT qv.qid AS qid, 'doc-' || CAST(tf.doc_id AS VARCHAR) || '#0' AS docid,
+        |  round(sum((
+        |    ((2.0 / (1 + (ln(1 + ql.qlen) / ln(2.0))))
+        |       * (((ln(1 + tf.tf) / ln(2.0)) / (ln(1 + dl.dl) / ln(2.0)))
+        |          / (1 + ((ln(1 + tf.tf) / ln(2.0)) / (ln(1 + dl.dl) / ln(2.0)))))
+        |     + (1 - (2.0 / (1 + (ln(1 + ql.qlen) / ln(2.0)))))
+        |       * ((tf.tf * (ln(1 + (st.c * 1.0 / st.n) / dl.dl) / ln(2.0)))
+        |          / (1 + (tf.tf * (ln(1 + (st.c * 1.0 / st.n) / dl.dl) / ln(2.0))))))
+        |    * ((ln((st.n + 1) / dict.df) / ln(2.0))
+        |       * ((dict.cf / dict.df) / (1 + (dict.cf / dict.df))))
+        |  ) * qv.mult), 4) AS matf
+        |FROM qv
+        |JOIN tf ON qv.term = tf.term
+        |JOIN dl ON tf.doc_id = dl.doc_id
+        |JOIN dict ON qv.term = dict.term
+        |JOIN ql ON qv.qid = ql.qid
+        |CROSS JOIN st
+        |GROUP BY qv.qid, tf.doc_id""".stripMargin)),
+
+    // LGDX empirical-CDF scoring (LGDX.java + EModelBase.sqlCDF + Prob2):
+    // per-term tfn CDF as a range window, score = −log2((N−cdf)/N).
+    Spec("r9_lgdx_scores",
+      (s, d) => graft.query.EmpiricalCdf.scores(
+          termDocs(s, d), dict(s, d), corpusStats(s, d), topics,
+          Scoring.L2, graft.query.EmpiricalCdf.P2)
+        .withColumnRenamed("docId", "docid"),
+      Some(s"""WITH $CTES,
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |base AS (SELECT tf.term AS term, tf.doc_id AS doc_id,
+        |           round(tf.tf * (ln(1.0 + (st.c * 1.0 / st.n) / dl.dl) / ln(2.0)), 4) AS tfn
+        |         FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |         WHERE tf.term IN (SELECT DISTINCT term FROM qv)),
+        |wc AS (SELECT term, doc_id,
+        |         count(*) OVER (PARTITION BY term ORDER BY tfn
+        |                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf
+        |       FROM base)
+        |SELECT qv.qid AS qid, 'doc-' || CAST(wc.doc_id AS VARCHAR) || '#0' AS docid,
+        |  round(sum(-(ln((CAST(st.n AS DOUBLE) - wc.cdf) / CAST(st.n AS DOUBLE)) / ln(2.0)) * qv.mult), 4) AS lgdx
+        |FROM qv JOIN wc ON qv.term = wc.term CROSS JOIN st
+        |GROUP BY qv.qid, wc.doc_id""".stripMargin)),
     // G1 — Porter2 golden pairs THROUGH the distributed analyze chain
     // (Dataset → analyze(_, Snowball) per row), hash-gated against the
     // hand-derived VALUES above.

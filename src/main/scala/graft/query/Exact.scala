@@ -39,12 +39,18 @@ object Exact {
     }
 
   /** Query-term table joined with per-term (df, cf): the dictionary is
-   * scanned once and reduced via a broadcast of the query terms. */
+   * scanned once and reduced via a broadcast of the query terms. `qLen` is
+   * the analyzed query word count (Σ mult — the reference's maxOverlap,
+   * `Searcher.java:351`), read by query-sensitive models via [[Scoring.In.qLen]]. */
   def qtermStats(spark: SparkSession, topics: Seq[Topic], dict: DataFrame,
                  tag: Analyzer.Tag): DataFrame = {
     import spark.implicits._
-    val q = queryTerms(topics, tag).toDF("qid", "term", "mult", "nTerms")
-    dict.join(broadcast(q), Seq("term")).select("qid", "term", "mult", "nTerms", "df", "cf")
+    val qt = queryTerms(topics, tag)
+    val qLens = qt.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val q = qt.map { case (qid, term, mult, nTerms) => (qid, term, mult, nTerms, qLens(qid)) }
+      .toDF("qid", "term", "mult", "nTerms", "qLen")
+    dict.join(broadcast(q), Seq("term"))
+      .select("qid", "term", "mult", "nTerms", "qLen", "df", "cf")
   }
 
   /** Per-row (term,doc) score × multiplicity, accumulated in double.
@@ -56,7 +62,8 @@ object Exact {
     val in = Scoring.In(
       tf = col("tf").cast("double"), docLen = col("docLen").cast("double"),
       df = col("df").cast("double"), cf = col("cf").cast("double"),
-      kf = lit(1.0d), n = lit(stats.numDocs.toDouble), c = lit(stats.numTokens.toDouble))
+      kf = lit(1.0d), n = lit(stats.numDocs.toDouble), c = lit(stats.numTokens.toDouble),
+      qLen = col("qLen").cast("double"))
     val s = model.expr(in)
     val boundary = if (floatBoundary) s.cast("float").cast("double") else s
     boundary * col("mult")

@@ -46,9 +46,11 @@ object Scoring {
     when(tf < dl, tf / dl).otherwise(lit(0.99999))
 
   /** All inputs a model sees, as columns. avgdl is always C/N
-   * (`ModelBase.java:117`). */
+   * (`ModelBase.java:117`). `qLen` (analyzed query word count, Σ mult) is
+   * only read by query-sensitive models (MATF's QLF). */
   final case class In(tf: Column, docLen: Column, df: Column, cf: Column,
-                      kf: Column, n: Column, c: Column) {
+                      kf: Column, n: Column, c: Column,
+                      qLen: Column = lit(1.0d)) {
     def avgdl: Column = c / n
   }
 
@@ -271,6 +273,60 @@ object Scoring {
     }
   }
 
+  /** DPH clamped at zero (`DPHp.java:10-14`): `f < 0 ? 0 : f`. */
+  case object DPHp extends Model {
+    val name = "DPHp"
+    override val ubSafe = false // same non-monotone core as DPH
+    def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
+              df: Double, cf: Double, n: Double, c: Double): Double = {
+      val f = DPH.score(tf, docLen, avgdl, kf, df, cf, n, c)
+      if (f < 0) 0d else f
+    }
+    def expr(in: In): Column = {
+      val f = DPH.expr(in)
+      when(f < lit(0d), lit(0d)).otherwise(f)
+    }
+  }
+
+  /**
+   * Multi-Aspect Term Frequency (`similarities/MATF.java:14-202`; Paik,
+   * "A novel TF-IDF weighting scheme for effective ranking", SIGIR 2013):
+   * score = TFF · TDF with
+   *   RITF = log2(1+tf)/log2(1+avgTF),  LRTF = tf·log2(1+avgdl/dl),
+   *   TFF  = w·σ(RITF) + (1−w)·σ(LRTF), w = 2/(1+log2(1+|q|)),
+   *   TDF  = log2((N+1)/df) · σ(cf/df), σ(x) = x/(1+x).
+   *
+   * The reference hardcodes uniqueTerms = 1 (its own TODO at
+   * `MATF.java:35`), making avgTF = docLength — kept here for
+   * reference-faithful scores. `queryLength` is the reference's
+   * maxOverlap (`Searcher.java:351`, the query word count); the column
+   * side reads it from [[In.qLen]] so one plan can score many queries.
+   * Monotone ↑tf / ↓docLen ⇒ block-max safe; note a single MATF instance
+   * only matches its own queryLength on the scalar side.
+   */
+  final case class MATF(queryLength: Int = 1) extends Model {
+    val name = "MATF"
+    private def sub(x: Double): Double = x / (1 + x)
+    private def subC(x: Column): Column = x / (lit(1) + x)
+    def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
+              df: Double, cf: Double, n: Double, c: Double): Double = {
+      val ritf = log2(1 + tf) / log2(1 + docLen.toDouble) // avgTF = dl/1
+      val lrtf = tf * log2(1 + avgdl / docLen)
+      val w = 2d / (1 + log2(1 + queryLength.toDouble))
+      val tff = w * sub(ritf) + (1 - w) * sub(lrtf)
+      val tdf = log2((n + 1) / df) * sub(cf / df)
+      tff * tdf
+    }
+    def expr(in: In): Column = {
+      val ritf = log2c(lit(1) + in.tf) / log2c(lit(1) + in.docLen)
+      val lrtf = in.tf * log2c(lit(1) + in.avgdl / in.docLen)
+      val w = lit(2d) / (lit(1) + log2c(lit(1) + in.qLen))
+      val tff = w * subC(ritf) + (lit(1) - w) * subC(lrtf)
+      val tdf = log2c((in.n + lit(1)) / in.df) * subC(in.cf / in.df)
+      tff * tdf
+    }
+  }
+
   /** Robertson TF × Sparck-Jones IDF (`TFIDF.java:30-35`, k1=1.2, b=0.75). */
   case object TFIDF extends Model {
     val name = "TFIDF"
@@ -368,8 +424,8 @@ object Scoring {
    * sweeps (reference sweep list `SearcherTool.java:294-302`). */
   val zoo: Seq[Model] = Seq(
     BM25, BM25c(0.9, 0.4), DirichletLM(), LMDIR(), LMABS(), LMJM(),
-    PL2c(), LGDc(), DPH, DLH13, DFRee, DFIC, DFIZ, TFIDF, RawTF, MetaTerm,
-    LogTFN(L2, 1d), SqrtTFN(L2))
+    PL2c(), LGDc(), DPH, DPHp, DLH13, DFRee, DFIC, DFIZ, TFIDF, RawTF, MetaTerm,
+    LogTFN(L2, 1d), SqrtTFN(L2), MATF())
 
   /**
    * Model-name parser, semantics of `ParamTool.string2model`
@@ -387,6 +443,8 @@ object Scoring {
       case cM("DirichletLM", c)  => DirichletLM(c.toDouble)
       case "BM25"                => BM25
       case "DPH"                 => DPH
+      case "DPHp"                => DPHp
+      case "MATF"                => MATF()
       case "DLH13"               => DLH13
       case "DFRee"               => DFRee
       case "DFIC"                => DFIC

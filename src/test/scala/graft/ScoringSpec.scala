@@ -48,6 +48,28 @@ class ScoringSpec extends AnyFunSuite {
     assert(!s.isNaN && !s.isInfinite)
   }
 
+  test("MATF formula (MATF.java:100-195; uniqueTerms=1 per MATF.java:35)") {
+    val qlen = 3
+    def sub(x: Double) = x / (1 + x)
+    val ritf = log2(1 + tf) / log2(1 + dl.toDouble)
+    val lrtf = tf * log2(1 + avgdl / dl)
+    val w = 2.0 / (1 + log2(1 + qlen.toDouble))
+    val tff = w * sub(ritf) + (1 - w) * sub(lrtf)
+    val tdf = log2((n + 1) / df) * sub(cf / df)
+    assert(MATF(qlen).score(tf, dl, avgdl, 1.0, df, cf, n, c) == tff * tdf)
+    assert(MATF(qlen).ubSafe) // monotone ↑tf ↓dl → block-max safe
+  }
+
+  test("DPHp clamps DPH at zero (DPHp.java:10-14)") {
+    // near tf≈dl DPH goes negative; DPHp must clamp
+    val neg = DPH.score(99, 100L, avgdl, 1.0, df, cf, n, c)
+    if (neg < 0) assert(DPHp.score(99, 100L, avgdl, 1.0, df, cf, n, c) == 0.0)
+    assert(DPHp.score(tf, dl, avgdl, 1.0, df, cf, n, c)
+      == math.max(0, DPH.score(tf, dl, avgdl, 1.0, df, cf, n, c)))
+    assert(Scoring.parse("DPHp") == DPHp)
+    assert(Scoring.parse("MATF") == MATF())
+  }
+
   test("PL2 equals PL2c(1)") {
     assert(PL2c(1.0).name == "PL2")
     val s = PL2c(1.0).score(tf, dl, avgdl, 1.0, df, cf, n, c)
