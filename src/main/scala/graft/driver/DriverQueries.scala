@@ -983,7 +983,182 @@ object DriverQueries {
     "runner" -> "runner", "generate" -> "generat", "generously" -> "generous",
     "pirate" -> "pirat")
 
+  /** Small parametric grid for the training gate: 6 BM25c points + 2
+   * DirichletLM points (the full reference grids live in
+   * [[graft.train.ParamTrain.parametricModels]], 190 points, same path). */
+  private val gridModels: Seq[Scoring.Model] =
+    Seq(0.9, 1.2, 2.0).flatMap(k => Seq(0.4, 0.75).map(b => Scoring.BM25c(k, b))) ++
+      Seq(Scoring.DirichletLM(500), Scoring.DirichletLM(2500))
+
+  private val gridMdlCte: String = {
+    val rows = gridModels.map {
+      case m @ Scoring.BM25c(k1, b)     => s"('${m.name}', 'BM25', ${k1}, ${b}, 0.0)"
+      case m @ Scoring.DirichletLM(mu)  => s"('${m.name}', 'DirichletLM', 0.0, 0.0, ${mu})"
+      case m => throw new IllegalStateException(m.name)
+    }.mkString(", ")
+    s"mdl(model, family, k1, b, mu) AS (SELECT * FROM (VALUES $rows) AS v(model, family, k1, b, mu))"
+  }
+
+  /** Per-(model, qid, doc) grid scores → ranked run → per-(model, qid)
+   * ap/ndcg10, shared by the p1/p2 oracles. */
+  private val sweepPqSql: String =
+    s"""$gridMdlCte,
+      |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+      |$qrelsSqlCte,
+      |scored AS (
+      |  SELECT mdl.model AS model, qv.qid AS qid, tf.doc_id AS doc_id,
+      |    round(sum((CASE WHEN mdl.family = 'BM25'
+      |      THEN (tf.tf * (8.0 + 1.0) * 1.0 / (((8.0) + 1.0) * (mdl.k1 * ((1.0 - mdl.b) + mdl.b * dl.dl / (st.c * 1.0 / st.n)) + tf.tf)))
+      |           * (ln((st.n - dict.df + 0.5) / (dict.df + 0.5)) / ln(2.0))
+      |      ELSE (ln(1 + (tf.tf / (mdl.mu * (dict.cf / st.c)))) / ln(2.0))
+      |           + (ln(mdl.mu / (dl.dl + mdl.mu)) / ln(2.0))
+      |      END) * qv.mult), 4) AS score
+      |  FROM mdl CROSS JOIN qv
+      |  JOIN tf ON qv.term = tf.term
+      |  JOIN dl ON tf.doc_id = dl.doc_id
+      |  JOIN dict ON qv.term = dict.term
+      |  CROSS JOIN st
+      |  GROUP BY mdl.model, qv.qid, tf.doc_id),
+      |run AS (SELECT * FROM (
+      |    SELECT model, qid, 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid,
+      |      CAST(row_number() OVER (PARTITION BY model, qid
+      |        ORDER BY score DESC, ('doc-' || CAST(doc_id AS VARCHAR) || '#0') ASC) AS INT) AS rank
+      |    FROM scored) WHERE rank <= $K),
+      |j AS (SELECT r.model AS model, r.qid AS qid, r.rank AS rank,
+      |        COALESCE(qr.judge, 0) AS judge,
+      |        CASE WHEN COALESCE(qr.judge, 0) > 0 THEN 1 ELSE 0 END AS rel
+      |      FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.docid = qr.docid),
+      |e AS (SELECT *,
+      |        sum(rel) OVER (PARTITION BY model, qid ORDER BY rank) * 1.0 / rank AS precat,
+      |        (pow(2.0, judge) - 1) / (ln(rank * 1.0 + 1) / ln(2.0)) AS dcggain
+      |      FROM j),
+      |agg AS (SELECT model, qid,
+      |    sum(CASE WHEN rel = 1 THEN precat ELSE 0.0 END) AS apnum,
+      |    sum(CASE WHEN rank <= 10 THEN dcggain ELSE 0.0 END) AS dcgatk
+      |  FROM e GROUP BY model, qid),
+      |nr AS (SELECT qid, count(*) AS numrel FROM qrels WHERE judge > 0 GROUP BY qid),
+      |idcg AS (SELECT qid, sum((pow(2.0, judge) - 1) / (ln(irank * 1.0 + 1) / ln(2.0))) AS idcgatk
+      |  FROM (SELECT qid, judge,
+      |          row_number() OVER (PARTITION BY qid ORDER BY judge DESC, docid ASC) AS irank
+      |        FROM qrels WHERE judge > 0)
+      |  WHERE irank <= 10 GROUP BY qid),
+      |pq AS (SELECT agg.model AS model, agg.qid AS qid,
+      |  round(CASE WHEN nr.numrel IS NULL OR nr.numrel = 0 THEN 0.0 ELSE apnum / nr.numrel END, 6) AS ap,
+      |  round(CASE WHEN idcg.idcgatk IS NULL OR idcg.idcgatk = 0 THEN 0.0 ELSE dcgatk / idcg.idcgatk END, 6) AS ndcg10
+      |FROM agg LEFT JOIN nr ON agg.qid = nr.qid LEFT JOIN idcg ON agg.qid = idcg.qid)""".stripMargin
+
+  /** Rounded per-(model, qid) sweep metrics (shared by p1/p2 gate fns). */
+  private def sweepPq(s: SparkSession, d: String): DataFrame = {
+    val runs = graft.train.ParamTrain.sweepRuns(
+      termDocs(s, d), dict(s, d), corpusStats(s, d), topics, gridModels,
+      topK = K, roundedDouble = Some(4))
+    graft.train.ParamTrain.sweepEval(runs, qrelsDf(s, d), k = 10)
+      .select(col("model"), col("qid"),
+        round(col("ap"), 6).as("ap"), round(col("ndcg10"), 6).as("ndcg10"))
+  }
+
   val specs5: Seq[Spec] = Seq(
+
+    // P1 — one-pass parametric grid sweep (ParamTool.train substrate): 8
+    // grid points scored in a single posting scan, ranked per (model, qid),
+    // evaluated per query — the oracle recomputes the whole sweep in SQL.
+    Spec("p1_param_sweep",
+      (s, d) => sweepPq(s, d),
+      Some(s"""WITH $CTES,
+        |$sweepPqSql
+        |SELECT model, qid, ap, ndcg10 FROM pq""".stripMargin)),
+
+    // P2 — train() winners: best mean measure per family (ties → model
+    // name asc), for MAP and NDCG@10 (ParamTool.java:119-138 semantics).
+    Spec("p2_param_best",
+      (s, d) => {
+        val pq = sweepPq(s, d)
+        val means = pq.groupBy("model").agg(
+          round(avg("ap"), 6).as("mean_ap"),
+          round(avg("ndcg10"), 6).as("mean_ndcg10"))
+        val fams = gridModels.map(m => m.name -> graft.train.ParamTrain.familyOf(m)).toMap
+        graft.train.ParamTrain.best(means, fams, "ap")
+          .unionByName(graft.train.ParamTrain.best(means, fams, "ndcg10"))
+      },
+      Some {
+        val famRows = gridModels
+          .map(m => s"('${m.name}', '${graft.train.ParamTrain.familyOf(m)}')").mkString(", ")
+        s"""WITH $CTES,
+          |$sweepPqSql,
+          |means AS (SELECT model, round(avg(ap), 6) AS mean_ap,
+          |            round(avg(ndcg10), 6) AS mean_ndcg10 FROM pq GROUP BY model),
+          |fam(model, family) AS (SELECT * FROM (VALUES $famRows) AS v(model, family)),
+          |r1 AS (SELECT f.family AS family, 'ap' AS measure, m.model AS model,
+          |         m.mean_ap AS mean_value,
+          |         row_number() OVER (PARTITION BY f.family ORDER BY m.mean_ap DESC, m.model ASC) AS rn
+          |       FROM means m JOIN fam f ON m.model = f.model),
+          |r2 AS (SELECT f.family AS family, 'ndcg10' AS measure, m.model AS model,
+          |         m.mean_ndcg10 AS mean_value,
+          |         row_number() OVER (PARTITION BY f.family ORDER BY m.mean_ndcg10 DESC, m.model ASC) AS rn
+          |       FROM means m JOIN fam f ON m.model = f.model)
+          |SELECT family, measure, model, mean_value FROM r1 WHERE rn = 1
+          |UNION ALL
+          |SELECT family, measure, model, mean_value FROM r2 WHERE rn = 1""".stripMargin
+      }),
+
+    // Z1 — ZRisk over a (system × topic) value matrix (exp/ZRisk.java:23-88):
+    // χ² deviation from row/column independence, distributed via two tiny
+    // broadcast aggregates. Matrix: deterministic doc_id partitioning of
+    // the documents table with n_chars mass.
+    Spec("z1_zrisk",
+      (s, d) => {
+        val m = Transcripts.table(s, d, "documents")
+          .groupBy((col("doc_id") % 4).as("system"), (col("doc_id") % 6).as("topic"))
+          .agg(sum("n_chars").as("value"))
+        graft.stats.Risk.zriskDf(m, "system", "topic", "value")
+          .select(col("system"), round(col("zrisk"), 6).as("zrisk"))
+      },
+      Some("""WITH m AS (SELECT doc_id % 4 AS system, doc_id % 6 AS topic,
+        |            CAST(sum(n_chars) AS DOUBLE) AS v
+        |          FROM documents GROUP BY 1, 2),
+        |rs AS (SELECT system, sum(v) AS rowsum FROM m GROUP BY system),
+        |cs AS (SELECT topic, sum(v) AS colsum FROM m GROUP BY topic),
+        |tot AS (SELECT sum(v) AS t FROM m)
+        |SELECT m.system AS system,
+        |  round(sum((m.v - (rs.rowsum * cs.colsum / tot.t)) * (m.v - (rs.rowsum * cs.colsum / tot.t))
+        |            / (rs.rowsum * cs.colsum / tot.t)), 6) AS zrisk
+        |FROM m JOIN rs USING (system) JOIN cs USING (topic) CROSS JOIN tot
+        |GROUP BY m.system""".stripMargin)),
+
+    // L1 — LTR text features (ltr/DocLength, Entropy, AvgTermLength,
+    // CoveredTermCount/Ratio) per (qid, matched doc), K5's feature source.
+    Spec("l1_ltr_features",
+      (s, d) => {
+        val td = termDocs(s, d)
+        val qts = Exact.qtermStats(s, topics, dict(s, d), Analyzer.Tag.NoStem)
+          .select("qid", "term", "mult", "qLen")
+        val docF = graft.ltr.DocFeatures.docFeatures(td)
+        graft.ltr.DocFeatures.coverage(td, qts)
+          .join(docF, "docId")
+          .select(col("qid"), col("docId").as("docid"), col("doclen"),
+            round(col("entropy"), 6).as("entropy"),
+            round(col("avg_term_len"), 6).as("avg_term_len"),
+            col("covered_cnt"),
+            round(col("covered_ratio"), 6).as("covered_ratio"))
+      },
+      Some(s"""WITH $CTES,
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |ql AS (SELECT qid, sum(mult) AS qlen FROM qv GROUP BY qid),
+        |docf AS (SELECT tf.doc_id AS doc_id, min(dl.dl) AS doclen,
+        |           sum((tf.tf * 1.0 / dl.dl) * (-(ln(tf.tf * 1.0 / dl.dl) / ln(2.0)))) AS entropy,
+        |           avg(CAST(length(tf.term) AS DOUBLE)) AS avg_term_len
+        |         FROM tf JOIN dl ON tf.doc_id = dl.doc_id GROUP BY tf.doc_id),
+        |cov AS (SELECT qv.qid AS qid, tf.doc_id AS doc_id,
+        |          CAST(sum(qv.mult) AS BIGINT) AS covered_cnt, min(ql.qlen) AS qlen
+        |        FROM qv JOIN tf ON qv.term = tf.term JOIN ql ON qv.qid = ql.qid
+        |        GROUP BY qv.qid, tf.doc_id)
+        |SELECT cov.qid AS qid, 'doc-' || CAST(cov.doc_id AS VARCHAR) || '#0' AS docid,
+        |  CAST(docf.doclen AS BIGINT) AS doclen,
+        |  round(docf.entropy, 6) AS entropy,
+        |  round(docf.avg_term_len, 6) AS avg_term_len,
+        |  cov.covered_cnt AS covered_cnt,
+        |  round(CAST(cov.covered_cnt AS DOUBLE) / CAST(cov.qlen AS DOUBLE), 6) AS covered_ratio
+        |FROM cov JOIN docf ON cov.doc_id = docf.doc_id""".stripMargin)),
 
     // MATF multi-aspect TF (MATF.java:14-202) per (qid, doc), qLen-aware —
     // the full formula (RITF/LRTF blend, QLF, TDF) mirrored op-for-op in SQL.

@@ -32,9 +32,17 @@ object Metrics {
     qrels.filter(col("judge") > 0).groupBy("qid").agg(count(lit(1)).as("numRel"))
 
   /** All metrics per qid in one pass over the judged run. */
-  def perQuery(runs: DataFrame, qrels: DataFrame, k: Int = 20, gmax: Int = 4): DataFrame = {
+  def perQuery(runs: DataFrame, qrels: DataFrame, k: Int = 20, gmax: Int = 4): DataFrame =
+    perQueryGrouped(runs, qrels, k, gmax, Nil)
+
+  /** [[perQuery]] with extra grouping columns carried through (e.g. a
+   * `model` column from a one-pass parameter sweep): every window/groupBy
+   * partitions by (groupCols :+ qid); qrels stay keyed by qid alone. */
+  def perQueryGrouped(runs: DataFrame, qrels: DataFrame, k: Int, gmax: Int,
+                      groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols :+ "qid"
     val j = judged(runs, qrels)
-    val w = Window.partitionBy("qid").orderBy(col("rank").asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("rank").asc)
 
     val enriched = j
       .withColumn("cumRel", sum("rel").over(w))
@@ -50,7 +58,7 @@ object Metrics {
       .withColumn("dcgGain",
         (pow(lit(2.0), col("judge")) - 1) / (log(col("rank").cast("double") + 1) / log(lit(2.0))))
 
-    val base = enriched.groupBy("qid").agg(
+    val base = enriched.groupBy(keys.map(col): _*).agg(
       sum(when(col("rel") === 1, col("precAt")).otherwise(lit(0.0))).as("apNum"),
       sum(when(col("rank") <= k, col("rel")).otherwise(lit(0))).cast("double").as("relAtK"),
       sum(when(col("rank") <= k, col("dcgGain")).otherwise(lit(0.0))).as("dcgAtK"),
@@ -68,7 +76,7 @@ object Metrics {
     base
       .join(numRel(qrels), Seq("qid"), "left")
       .join(idcg, Seq("qid"), "left")
-      .select(col("qid"),
+      .select(keys.map(col) ++ Seq(
         when(col("numRel").isNull || col("numRel") === 0, lit(0.0))
           .otherwise(col("apNum") / col("numRel")).as("ap"),
         (col("relAtK") / k).as(s"p$k"),
@@ -76,7 +84,7 @@ object Metrics {
           .otherwise(col("relAtK") / col("numRel")).as(s"recall$k"),
         when(col("idcgAtK").isNull || col("idcgAtK") === 0, lit(0.0))
           .otherwise(col("dcgAtK") / col("idcgAtK")).as(s"ndcg$k"),
-        col("errAtK").as(s"err$k"))
+        col("errAtK").as(s"err$k")): _*)
   }
 
   /** Mean over queries per metric (A11, `Evaluator.java:239-260`). */
