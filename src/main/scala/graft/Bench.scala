@@ -69,12 +69,21 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""index_build":{"turns":$benchTurns,"sec":$buildSec,"turns_per_sec":$turnsPerSec},""" +
       s""""bm25_topk_sec":{"exact_p50":${pct(exactLat, 0.5)},"exact_p95":${pct(exactLat, 0.95)},""" +
       s""""bmw_p50":${pct(bmwLat, 0.5)},"bmw_p95":${pct(bmwLat, 0.95)},"k":1000,"topics":${topics.size}},""" +
-      s""""cpus":$cpus}""")
+      s""""cpus":$cpus}"""
+    // the driver parses this JSON: print it as a line AND persist it to a
+    // file so sbt/log4j noise on stdout can never hide it
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/bench_last.json")
+    try {
+      val p = java.nio.file.Paths.get(outFile)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, json + "\n")
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
+    println(json)
   }
 }
