@@ -1236,9 +1236,98 @@ object DriverQueries {
       })
   )
 
+  // ---- batch 6: Structured Streaming surface ----
+  // Each gate feeds the documents corpus through a MemoryStream in several
+  // micro-batches (driver-side feeding is the fixture mechanism, not a data
+  // path) and hash-compares the STREAMING result against a batch SQL oracle.
+
+  private def memQueryName(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  val specs6: Seq[Spec] = Seq(
+
+    // ST1 — streaming exact dedup: first-seen content hash wins across
+    // micro-batches (stateful dropDuplicates). Batch 1 = originals; batch 2
+    // = exact copies (must be suppressed by state) + near-dups with one
+    // appended token (new hashes, must pass).
+    Spec("st1_stream_dedup",
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val base = Transcripts.table(s, d, "documents").select("doc_id", "text")
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        val batch2 = base.filter(_._1 < 25).map { case (id, t) => (id + 100000L, t) } ++
+          base.filter(x => x._1 >= 25 && x._1 < 50).map { case (id, t) => (id + 200000L, t + " xnearx") }
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val out = graft.streaming.Streams.dedupByContent(
+          stream.toDF().toDF("id", "text"), "id", "text")
+        val qn = memQueryName("st1")
+        val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+        try {
+          stream.addData(base); q.processAllAvailable()
+          stream.addData(batch2); q.processAllAvailable()
+        } finally q.stop()
+        s.table(qn)
+      },
+      Some("""SELECT doc_id AS id, md5(text) AS text_hash FROM documents
+        |UNION ALL
+        |SELECT doc_id + 200000 AS id, md5(text || ' xnearx') AS text_hash
+        |FROM documents WHERE doc_id >= 25 AND doc_id < 50""".stripMargin)),
+
+    // ST2 — event-time tumbling-window token stats (ts = doc_id seconds
+    // since epoch, 60s windows); complete mode for a deterministic final
+    // table (append-mode watermark finalization is pinned in StreamingSpec).
+    Spec("st2_stream_window",
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Transcripts.table(s, d, "documents").select("doc_id", "text")
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val df = stream.toDF().toDF("doc_id", "text")
+          .withColumn("ts", col("doc_id").cast("timestamp"))
+        val out = graft.streaming.Streams.windowedTokenStats(df, "ts", "text", "60 seconds")
+        val qn = memQueryName("st2")
+        val q = out.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+        try {
+          stream.addData(rows.filter(_._1 < 250)); q.processAllAvailable()
+          stream.addData(rows.filter(_._1 >= 250)); q.processAllAvailable()
+        } finally q.stop()
+        s.table(qn)
+      },
+      Some("""SELECT (doc_id // 60) * 60 AS window_start, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ST3 — incremental streaming index ingest: two micro-batches through
+    // foreachBatch/appendBatch (disjoint shard ranges, dict from block
+    // metadata), then the LOADED index's posting source must reproduce the
+    // batch tokenization hash-exactly (same oracle as t1).
+    Spec("st3_stream_index",
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val turns = Transcripts.fromDocuments(s, d).collect().sortBy(_.conv_id).toSeq
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Turn]
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+        val q = graft.streaming.Streams.indexSink(stream.toDS(), dir, docsPerShard = 256)
+          .option("checkpointLocation", ckpt).start()
+        try {
+          val (b1, b2) = turns.splitAt(turns.size / 2)
+          stream.addData(b1); q.processAllAvailable()
+          stream.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+        IndexBuild.load(s, dir).termDocs
+          .select(col("docId").as("docid"), col("term"), col("tf"))
+      },
+      Some(s"""WITH $CTES
+        |SELECT 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid, term, tf FROM tf""".stripMargin))
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5).map(s => s.name -> s.fn).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6).map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5).flatMap(s => s.oracle.map(s.name -> _)).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6).flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

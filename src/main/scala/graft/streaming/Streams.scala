@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.analysis.Analyzer
+import graft.index.{Dictionary, DenseIds, PostingsBuilder}
+import graft.model.Turn
+
+/**
+ * Structured Streaming surface (SURVEY.md §1.4: the reference is strictly
+ * batch — these are the Spark-native streaming counterparts of its
+ * ingestion + analytics paths, for transcript streams that arrive
+ * continuously at 100 TB scale).
+ *
+ *  - [[dedupByContent]]: streaming exact dedup — first-seen content hash
+ *    wins across micro-batches (stateful `dropDuplicates`, optionally
+ *    watermark-bounded state).
+ *  - [[windowedTokenStats]]: event-time tumbling-window token/doc counts
+ *    with optional watermark (append mode emits finalized windows only).
+ *  - [[appendBatch]] / [[indexSink]]: incremental inverted-index ingestion
+ *    — each micro-batch becomes a fresh disjoint set of posting shards
+ *    (docIdNum ranges aligned to shard boundaries), the dictionary is
+ *    re-derived from block METADATA only (never a corpus re-pass), and the
+ *    result is a normal [[graft.index.IndexBuild.load]]-able index at
+ *    every commit point.
+ */
+object Streams {
+
+  /** First-seen exact dedup on a (possibly streaming) frame: one row per
+   * distinct content hash, earliest arrival wins. With `watermarkOn` set,
+   * state for hashes older than the delay is dropped (the standard bounded
+   * near-real-time dedup trade). */
+  def dedupByContent(df: DataFrame, idCol: String, textCol: String,
+                     watermarkOn: Option[(String, String)] = None): DataFrame = {
+    val base = watermarkOn.fold(df) { case (tsCol, delay) => df.withWatermark(tsCol, delay) }
+    base
+      .withColumn("text_hash", md5(col(textCol)))
+      .dropDuplicates("text_hash")
+      .select(col(idCol).as("id"), col("text_hash"))
+  }
+
+  /** Event-time tumbling-window corpus stats: docs + analyzed-token count
+   * per window. Watermark optional (append mode requires it; complete mode
+   * replays every window). */
+  def windowedTokenStats(df: DataFrame, tsCol: String, textCol: String,
+                         windowDuration: String,
+                         watermarkOn: Option[String] = None): DataFrame = {
+    val countTokens = udf((t: String) => Analyzer.countTokens(t).toLong)
+    val base = watermarkOn.fold(df)(delay => df.withWatermark(tsCol, delay))
+    base
+      .withColumn("n_tok", countTokens(col(textCol)))
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("n_docs"), col("n_tokens"))
+  }
+
+  private def maxDocIdNum(spark: org.apache.spark.sql.SparkSession, docsDir: String): Option[Long] = {
+    val p = new Path(docsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val r = spark.read.parquet(docsDir).agg(max("docIdNum")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
+
+  /**
+   * Append one micro-batch of turns to an (possibly empty) index directory.
+   *
+   * The batch gets docIdNums starting at the next shard boundary past the
+   * current maximum, so its shards (`docIdNum / docsPerShard`) are disjoint
+   * from every earlier batch — the fused segment build then runs unchanged
+   * and the shard files land under new `shard=K` partition dirs. Within a
+   * batch ids follow docId-string order (DenseIds); ACROSS batches order is
+   * arrival order, so score ties across batches break by arrival — the
+   * standard streaming-ingest semantic (a batch rebuild re-sorts globally).
+   */
+  def appendBatch(turns: Dataset[Turn], indexDir: String,
+                  tag: Analyzer.Tag = Analyzer.Tag.NoStem,
+                  docsPerShard: Long = 1 << 20): Unit = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    if (turns.isEmpty) return
+    val docsDir = s"$indexDir/docs"
+    val postingsDir = s"$indexDir/postings"
+    val dictDir = s"$indexDir/dict"
+    spark.sparkContext.hadoopConfiguration
+      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 1)
+
+    val start = maxDocIdNum(spark, docsDir) match {
+      case None      => 0L
+      case Some(mx)  => ((mx / docsPerShard) + 1) * docsPerShard // next shard boundary
+    }
+    val withId = DenseIds.assign(
+        turns.toDF().select(
+          concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+          col("text")),
+        "docIdNum0", assumeSorted = false, col("docId"))
+      .withColumn("docIdNum", col("docIdNum0") + lit(start))
+      .drop("docIdNum0")
+
+    withId.select("docId", "docIdNum", "text").as[(String, Long, String)]
+      .mapPartitions(_.map { case (docId, num, text) =>
+        val dl =
+          if (tag == Analyzer.Tag.NoStem) Analyzer.countTokens(text).toLong
+          else Analyzer.analyze(text, tag).size.toLong
+        graft.model.DocEntry(docId, num, dl)
+      })
+      .write.mode("append").parquet(docsDir)
+
+    PostingsBuilder.buildSegments(withId, tag, docsPerShard)
+      .toDF()
+      .write.mode("append").partitionBy("shard").parquet(postingsDir)
+
+    // dict refresh from block metadata only (one small-row aggregation)
+    Dictionary.withIds(
+        spark.read.parquet(postingsDir)
+          .groupBy("term").agg(sum("n").as("df"), sum("sumTf").as("cf")))
+      .write.mode("overwrite").parquet(dictDir)
+  }
+
+  /** readStream → incremental index: `stream.writeStream` wired to
+   * [[appendBatch]] per micro-batch. Start + awaitTermination as usual. */
+  def indexSink(stream: Dataset[Turn], indexDir: String,
+                tag: Analyzer.Tag = Analyzer.Tag.NoStem,
+                docsPerShard: Long = 1 << 20): DataStreamWriter[Turn] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Turn], _: Long) =>
+      appendBatch(batch, indexDir, tag, docsPerShard)
+    }
+}

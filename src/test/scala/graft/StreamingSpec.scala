@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.data.Transcripts
+import graft.index.{IndexBuild, Tokenize}
+import graft.model.Turn
+import graft.streaming.Streams
+
+/** Structured Streaming surface: incremental index ingest ≡ batch build,
+ * stateful first-seen dedup, watermark finalization semantics. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming index ingest (2 micro-batches) reproduces the batch posting source") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val turns = Transcripts.generate(spark, 60, 6, seed = 7L, partitions = 2)
+    val local = turns.collect().toSeq
+
+    val dir = Files.createTempDirectory("graft-stream-idx-test").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt-test").toString
+    val stream = MemoryStream[Turn]
+    val q = Streams.indexSink(stream.toDS(), dir, docsPerShard = 64)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val (b1, b2) = local.splitAt(local.size / 3)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = IndexBuild.load(spark, dir).termDocs
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    val batch = Tokenize.termDocs(turns)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+
+    // shard ranges across batches stay disjoint (new batch → new shards)
+    val shards = spark.read.parquet(s"$dir/postings")
+      .groupBy("shard").agg(min("minDoc").as("lo"), max("maxDoc").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    shards.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2, s"overlapping shards: $a $b")
+      case _ =>
+    }
+  }
+
+  test("streaming dedup keeps the first-seen content hash across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = Streams.dedupByContent(stream.toDF().toDF("id", "text"), "id", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      stream.addData(Seq((1L, "alpha beta"), (2L, "gamma delta")))
+      q.processAllAvailable()
+      stream.addData(Seq((3L, "alpha beta"), (4L, "epsilon zeta")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dedup_test").select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L)) // 3 suppressed by batch-1 state
+  }
+
+  test("windowed token stats finalize only past the watermark (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val df = stream.toDF().toDF("sec", "text")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Streams.windowedTokenStats(df, "ts", "text", "60 seconds", watermarkOn = Some("10 seconds"))
+    val q = out.writeStream.format("memory").queryName("win_test").outputMode("append").start()
+    try {
+      stream.addData(Seq((10L, "a b c"), (70L, "d e"))) // windows 0 and 60
+      q.processAllAvailable()
+      // watermark after batch 1 = 70−10 = 60 → window [0,60) finalizes on the
+      // NEXT batch; the sentinel advances the watermark past window [60,120)
+      stream.addData(Seq((500L, "x")))
+      q.processAllAvailable()
+      stream.addData(Seq((900L, "y")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // watermark after the last batch = 900−10 = 890: windows 0, 60, 480
+    // are finalized; window [900,960) is still open → absent
+    assert(rows.toSeq == Seq((0L, 1L, 3L), (60L, 1L, 2L), (480L, 1L, 1L)))
+  }
+}
