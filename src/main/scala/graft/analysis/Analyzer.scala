@@ -136,6 +136,33 @@ object Analyzer {
     }
   }
 
+  /** The reference's script-partitioned fields (T4, `Indexer.java:113-119`):
+   * contents are re-indexed once per script with a script-filtering
+   * analyzer (`Analyzers.scripts:29-40` + an "ascii" field). Here a token
+   * maps to ONE script label from its first letter codepoint (our
+   * word-break never joins scripts mid-token for these ranges): the
+   * reference's ten script names, plus "ascii" (Basic-Latin) and "other". */
+  def scriptOf(token: String): String = {
+    if (token == null || token.isEmpty) return "other"
+    import Character.UnicodeScript
+    val sc = UnicodeScript.of(token.codePointAt(0))
+    sc match {
+      case UnicodeScript.HAN | UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => "Jpan"
+      case UnicodeScript.CYRILLIC   => "Cyrillic"
+      case UnicodeScript.GREEK      => "Greek"
+      case UnicodeScript.ARABIC     => "Arabic"
+      case UnicodeScript.HANGUL     => "Hangul"
+      case UnicodeScript.THAI       => "Thai"
+      case UnicodeScript.ARMENIAN   => "Armenian"
+      case UnicodeScript.DEVANAGARI => "Devanagari"
+      case UnicodeScript.HEBREW     => "Hebrew"
+      case UnicodeScript.GEORGIAN   => "Georgian"
+      case UnicodeScript.LATIN | UnicodeScript.COMMON
+        if token.forall(_ < 0x80)   => "ascii"
+      case _ => "other"
+    }
+  }
+
   /**
    * Lucene query-syntax escape, ported verbatim from the reference
    * (`/root/reference/src/main/java/org/clueweb09/tracks/MQ09.java:24-37`):

@@ -1325,9 +1325,89 @@ object DriverQueries {
         |SELECT 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid, term, tf FROM tf""".stripMargin))
   )
 
+  // ---- batch 7: script fields + curation capstone ----
+
+  /** Script fixtures (constant texts, mark-free tokens so UAX word-break
+   * keeps each word whole): expected script labels are HAND-WRITTEN from
+   * the Unicode script property — a real oracle for [[Analyzer.scriptOf]]. */
+  private val scriptFixtures: Seq[(Int, String, Seq[(String, String)])] = Seq(
+    (1, "Hello World", Seq("hello" -> "ascii", "world" -> "ascii")),
+    (2, "привет мир", Seq("привет" -> "Cyrillic", "мир" -> "Cyrillic")),
+    (3, "αλφα βητα", Seq("αλφα" -> "Greek", "βητα" -> "Greek")),
+    (4, "שלום עולם", Seq("שלום" -> "Hebrew", "עולם" -> "Hebrew")),
+    (5, "مرحبا", Seq("مرحبا" -> "Arabic")),
+    (6, "안녕하세요", Seq("안녕하세요" -> "Hangul")),
+    (7, "こんにちは 漢字", Seq("こんにちは" -> "Jpan", "漢字" -> "Jpan")),
+    (8, "คน", Seq("คน" -> "Thai")),
+    (9, "नमन", Seq("नमन" -> "Devanagari")),
+    (10, "բարեւ", Seq("բարեւ" -> "Armenian")),
+    (11, "გამარჯობა", Seq("გამარჯობა" -> "Georgian")),
+    (12, "hello мир", Seq("hello" -> "ascii", "мир" -> "Cyrillic")))
+
+  val specs7: Seq[Spec] = Seq(
+
+    // T4 — script-partitioned fields (Indexer.java:113-119): tokens routed
+    // to per-script labels (the reference's ten scripts + ascii), via the
+    // distributed analyze + scriptOf path, against hand-written expectations.
+    Spec("t4_script_fields",
+      (s, d) => {
+        import s.implicits._
+        val tok = udf((t: String) => Analyzer.analyze(t))
+        val scr = udf((t: String) => Analyzer.scriptOf(t))
+        scriptFixtures.map { case (id, text, _) => (id, text) }.toDF("id", "text")
+          .select(col("id"), explode(tok(col("text"))).as("token"))
+          .select(col("id"), col("token"), scr(col("token")).as("script"))
+      },
+      Some {
+        val rows = scriptFixtures.flatMap { case (id, _, toks) =>
+          toks.map { case (t, sc) => s"($id, '$t', '$sc')" }
+        }.mkString(", ")
+        s"SELECT id, token, script FROM (VALUES $rows) AS v(id, token, script)"
+      }),
+
+    // C1 — curation capstone: exact dedup (smallest id per content hash) →
+    // language filter (en) → quality band, the full mirror recomputed in SQL.
+    Spec("c1_curation",
+      (s, d) => graft.pipeline.Curation.curate(dupCorpus(s, d), "doc_id", "text",
+        langs = Some(Set("en")), minQuality = 0.5),
+      Some {
+        def esc(m: String) = m.replace("'", "''")
+        val perLang = graft.pipeline.TextAnalysis.PROFILES.toSeq.sortBy(_._1)
+          .map { case (lang, ms) =>
+            val cnt = ms.map(m =>
+              s"(length(s) - length(replace(s, '${esc(m)}', ''))) // ${m.length}").mkString(" + ")
+            s"SELECT id, '$lang' AS lang, CAST($cnt AS DOUBLE) / greatest(1, length(s)) AS score FROM p"
+          }.mkString(" UNION ALL ")
+        val stopList = graft.pipeline.TextAnalysis.STOPWORDS.map(w => s"'$w'").mkString(", ")
+        s"""WITH $dupCorpusCte,
+          |dd AS (SELECT doc_id AS id, text FROM (
+          |    SELECT doc_id, text,
+          |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+          |    FROM corp) WHERE rn = 1),
+          |p AS (SELECT id, ' ' || lower(text) || ' ' AS s FROM dd),
+          |sc AS ($perLang),
+          |lng AS (SELECT id, CASE WHEN score = 0 THEN 'und' ELSE lang END AS lang_pred FROM (
+          |    SELECT id, lang, score,
+          |      row_number() OVER (PARTITION BY id ORDER BY score DESC, lang DESC) AS rn
+          |    FROM sc) WHERE rn = 1),
+          |tok AS (SELECT id, unnest(string_split(text, ' ')) AS term FROM dd),
+          |qbase AS (SELECT id, len(string_split(text, ' ')) * 1.0 AS n FROM dd),
+          |uq AS (SELECT id, count(DISTINCT term) * 1.0 AS nu FROM tok GROUP BY id),
+          |stp AS (SELECT id, count(*) * 1.0 AS ns FROM tok WHERE term IN ($stopList) GROUP BY id),
+          |qual AS (SELECT qbase.id AS id,
+          |    round(least(1.0, greatest(0.0,
+          |      0.3 + 0.5 * (uq.nu / qbase.n) + 1.5 * (COALESCE(stp.ns, 0.0) / qbase.n)
+          |      - 0.002 * abs(qbase.n - 60))), 6) AS quality
+          |  FROM qbase JOIN uq ON qbase.id = uq.id LEFT JOIN stp ON qbase.id = stp.id)
+          |SELECT lng.id AS id, lng.lang_pred AS lang_pred, qual.quality AS quality
+          |FROM lng JOIN qual ON lng.id = qual.id
+          |WHERE lng.lang_pred = 'en' AND qual.quality >= 0.5""".stripMargin
+      })
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6).map(s => s.name -> s.fn).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7).map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6).flatMap(s => s.oracle.map(s.name -> _)).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7).flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

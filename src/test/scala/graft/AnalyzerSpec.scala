@@ -59,4 +59,13 @@ class AnalyzerSpec extends AnyFunSuite {
   test("analyzeQuery preserves multiplicity") {
     assert(Analyzer.analyzeQuery("the the the") == Seq("the", "the", "the"))
   }
+
+  test("scriptOf edge cases (T4, Indexer.java:113-119)") {
+    assert(Analyzer.scriptOf("hello") == "ascii")
+    assert(Analyzer.scriptOf("héllo") == "other")  // Latin but not Basic-Latin
+    assert(Analyzer.scriptOf("мир") == "Cyrillic")
+    assert(Analyzer.scriptOf("ሰላም") == "other")    // Ethiopic: outside the ref's ten
+    assert(Analyzer.scriptOf("") == "other")
+    assert(Analyzer.scriptOf("漢字") == "Jpan")
+  }
 }
