@@ -1405,9 +1405,76 @@ object DriverQueries {
       })
   )
 
+  // ---- batch 8: stock-Lucene similarity grid (Models.java:105-127) ----
+  val specs8: Seq[Spec] = Seq(
+
+    // R8 — one posting scan scoring seven representative cells of the
+    // 130-model stock grid (a DFR cell per after-effect/normalization
+    // family, both IB distributions/lambdas, Classic, stock BM25, stock
+    // LM-JM), each mirrored operation-for-operation in SQL.
+    Spec("r8_stock_grid",
+      (s, d) => {
+        import graft.query.StockLucene
+        import graft.query.StockLucene._
+        val td = termDocs(s, d)
+        val st = corpusStats(s, d)
+        val qts = Exact.qtermStats(s, topics, dict(s, d), Analyzer.Tag.NoStem)
+        val in = graft.query.Scoring.In(
+          tf = col("tf").cast("double"), docLen = col("docLen").cast("double"),
+          df = col("df").cast("double"), cf = col("cf").cast("double"),
+          kf = lit(1.0d), n = lit(st.numDocs.toDouble), c = lit(st.numTokens.toDouble))
+        val models: Seq[(String, Scoring.Model)] = Seq(
+          "dfr_inl2" -> Dfr(BIn, GL, H2),
+          "dfr_gb1" -> Dfr(BG, GB, H1),
+          "ib_ll_df_h2" -> Ib(DistLL, LamDF, H2),
+          "ib_spl_ttf_h1" -> Ib(DistSPL, LamTTF, H1),
+          "classic" -> StockLucene.Classic,
+          "lucene_bm25" -> LuceneBM25(),
+          "lucene_lmjm" -> LuceneLMJM(0.7))
+        val aggs = models.map { case (nm, m) =>
+          round(sum(m.expr(in) * col("mult")), 4).as(nm)
+        }
+        td.join(broadcast(qts), Seq("term"))
+          .groupBy(col("qid"), col("docId").as("docid"))
+          .agg(aggs.head, aggs.tail: _*)
+      },
+      Some(s"""WITH $CTES,
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |b AS (SELECT qv.qid AS qid, tf.doc_id AS doc_id, qv.mult AS mult,
+        |        CAST(tf.tf AS DOUBLE) AS tf, CAST(dl.dl AS DOUBLE) AS dl,
+        |        CAST(dict.df AS DOUBLE) AS df, CAST(dict.cf AS DOUBLE) AS cf,
+        |        CAST(st.n AS DOUBLE) AS n, CAST(st.c AS DOUBLE) AS c,
+        |        st.c * 1.0 / st.n AS avgdl
+        |      FROM qv JOIN tf ON qv.term = tf.term
+        |      JOIN dl ON tf.doc_id = dl.doc_id
+        |      JOIN dict ON qv.term = dict.term CROSS JOIN st),
+        |sp AS (SELECT qid, doc_id, mult,
+        |        -- tfn under H2 and H1
+        |        tf * (ln(1 + avgdl / dl) / ln(2.0)) AS tfn2,
+        |        tf * avgdl / dl AS tfn1,
+        |        -- SPL lambda (TTF), nudged off the λ=1 singularity
+        |        CASE WHEN abs((cf + 1) / (n + 1) - 1.0) < 1e-9
+        |             THEN 1.0 + 1e-9 ELSE (cf + 1) / (n + 1) END AS lttf,
+        |        tf, dl, df, cf, n, c, avgdl
+        |      FROM b)
+        |SELECT qid, 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid,
+        |  round(sum(mult * ((1.0 / (tfn2 + 1)) * tfn2 * (ln((n + 1) / (df + 0.5)) / ln(2.0)))), 4) AS dfr_inl2,
+        |  round(sum(mult * (((cf + 1) / (df * (tfn1 + 1)))
+        |    * ((ln(1 + cf / (n + cf)) / ln(2.0))
+        |       + tfn1 * (ln((1 + cf / (n + cf)) / (cf / (n + cf))) / ln(2.0))))), 4) AS dfr_gb1,
+        |  round(sum(mult * (ln(1 + tfn2 / ((df + 1) / (n + 1))) / ln(2.0))), 4) AS ib_ll_df_h2,
+        |  round(sum(mult * (-(ln((pow(lttf, tfn1 / (tfn1 + 1)) - lttf) / (1 - lttf)) / ln(2.0)))), 4) AS ib_spl_ttf_h1,
+        |  round(sum(mult * (sqrt(tf) * pow(1 + ln((n + 1) / (df + 1)), 2) / sqrt(dl))), 4) AS classic,
+        |  round(sum(mult * (ln(1 + (n - df + 0.5) / (df + 0.5))
+        |    * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))), 4) AS lucene_bm25,
+        |  round(sum(mult * (ln(1 + ((1 - 0.7) * tf / dl) / (0.7 * (cf + 1) / (c + 1))))), 4) AS lucene_lmjm
+        |FROM sp
+        |GROUP BY qid, doc_id""".stripMargin))
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7).map(s => s.name -> s.fn).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8).map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7).flatMap(s => s.oracle.map(s.name -> _)).toMap
+    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8).flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

@@ -54,7 +54,8 @@ object Scoring {
     def avgdl: Column = c / n
   }
 
-  sealed trait Model extends Serializable {
+  // not sealed: the stock-Lucene grid (StockLucene.scala) extends it
+  trait Model extends Serializable {
     def name: String
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double
@@ -327,6 +328,18 @@ object Scoring {
     }
   }
 
+  /** MVD, faithful to the reference AS SHIPPED: `MVD.java:16-18` returns 0
+   * for every posting — the maximum-value-distribution machinery in its
+   * inner `Stats` class (`MVD.java:44-178`) is unreachable dead code
+   * (`numberOfUniqueTerms` stubs to −1). Reproducing the formula would
+   * *diverge* from the reference's observable behavior, so this scores 0. */
+  case object MVD extends Model {
+    val name = "MVD"
+    def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
+              df: Double, cf: Double, n: Double, c: Double): Double = 0d
+    def expr(in: In): Column = lit(0d)
+  }
+
   /** Robertson TF × Sparck-Jones IDF (`TFIDF.java:30-35`, k1=1.2, b=0.75). */
   case object TFIDF extends Model {
     val name = "TFIDF"
@@ -452,7 +465,11 @@ object Scoring {
       case "TFIDF"               => TFIDF
       case "RawTF"               => RawTF
       case "MetaTerm"            => MetaTerm
-      case other => throw new IllegalArgumentException(s"unexpected model: $other")
+      case "MVD"                 => MVD
+      case other =>
+        // stock-Lucene grid names (Models.java:105-127), e.g. DFR_InL2
+        StockLucene.parse(other).getOrElse(
+          throw new IllegalArgumentException(s"unexpected model: $other"))
     }
   }
 }
