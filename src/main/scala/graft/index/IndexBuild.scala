@@ -137,11 +137,29 @@ object IndexBuild {
 
     // DenseIds persists its post-shuffle frame internally for unsorted
     // input, so every pass below pays the range shuffle at most once.
-    lazy val turnsWithId: DataFrame = DenseIds.assign(
-      turns.toDF().select(
-        concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
-        col("text")),
-      "docIdNum", assumeSorted = inputSorted, col("docId"))
+    //
+    // RESUME CONSISTENCY: once the docs stage is committed, its
+    // docId→docIdNum mapping is the durable numbering of record. A restart
+    // must NOT re-run DenseIds — repartitionByRange re-samples partition
+    // boundaries (non-deterministic across JVMs), so a recomputed numbering
+    // could disagree with the one inside already-committed posting shards.
+    // Instead, join the committed mapping back onto the input and restore
+    // the shard-build invariant (docIdNum ascending within partitions) with
+    // a range shuffle on the now-FIXED numeric ids.
+    lazy val turnsWithId: DataFrame =
+      if (stageDone(spark, docsDir)) {
+        val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+        turns.toDF().select(
+            concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+            col("text"))
+          .join(spark.read.parquet(docsDir).select("docId", "docIdNum"), "docId")
+          .repartitionByRange(parts, col("docIdNum"))
+          .sortWithinPartitions("docIdNum")
+      } else DenseIds.assign(
+        turns.toDF().select(
+          concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+          col("text")),
+        "docIdNum", assumeSorted = inputSorted, col("docId"))
 
     // -- stage 1: docs (docId, docIdNum, docLen), one zero-alloc count pass --
     if (!stageDone(spark, docsDir)) {
