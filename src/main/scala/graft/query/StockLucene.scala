@@ -22,10 +22,12 @@ import Scoring.{In, Model, LOG_2_OF_E, log2, log2c}
  * the constants Lucene's similarity package parameterizes them with
  * (H3 µ=800, Z z=0.30, smoothed λ=(df+1)/(N+1) / (cf+1)/(N+1)).
  *
- * All grid models are conservatively marked `ubSafe = false`: several basic
- * models (P, D, BE) and the H3 normalization are not provably monotone
- * (↑tf, ↓docLen), so Block-Max WAND routes them to the exact path
- * (see [[Scoring.Model.ubSafe]]).
+ * Block-max eligibility ([[Scoring.Model.ubSafe]]) is granted only where
+ * monotonicity (↑tf, ↓docLen) is provable: the linear-Inf1 DFR cells
+ * (I(n)/I(ne)/I(F) × any gain) and all IB cells, each under the
+ * dl-monotone normalizations (H1/H2/Z/none). The Poisson, divergence and
+ * Bose-Einstein approximations and every H3 cell conservatively take the
+ * exact path. EngineSpec pins BMW ≡ exact for every eligible cell.
  */
 object StockLucene {
 
@@ -35,6 +37,9 @@ object StockLucene {
 
   sealed trait Norm extends Serializable {
     def tag: String
+    /** tfn non-decreasing in tf and non-increasing in docLen (H3's Dirichlet
+     * form mixes dl into both numerator and denominator — not provable). */
+    def dlMonotone: Boolean = true
     def tfn(tf: Double, dl: Double, avgdl: Double, cf: Double, c: Double): Double
     def expr(in: In): Column
   }
@@ -69,6 +74,7 @@ object StockLucene {
    * tfn = µ · (tf + µ·(cf+1)/(C+1)) / (dl + µ). */
   case object H3 extends Norm {
     val tag = "3"
+    override val dlMonotone = false
     val mu = 800.0
     def tfn(tf: Double, dl: Double, avgdl: Double, cf: Double, c: Double): Double =
       (tf + mu * ((cf + 1.0) / (c + 1.0))) / (dl + mu) * mu
@@ -92,6 +98,12 @@ object StockLucene {
 
   sealed trait Basic extends Serializable {
     def tag: String
+    /** Inf1 = k·tfn with k > 0 (no constant term): composed with any
+     * after-effect gain the score is k·tfn/(tfn+1)·c — provably monotone
+     * non-decreasing in tfn. Holds for the I(n)/I(ne)/I(F) family; the
+     * Poisson/divergence/Bose-Einstein approximations have non-linear or
+     * sign-varying terms and stay conservative. */
+    def tfnLinear: Boolean = false
     /** Informative content −log2 Prob1(tfn) given corpus stats. */
     def inf1(tfn: Double, df: Double, cf: Double, n: Double): Double
     def expr(tfn: Column, in: In): Column
@@ -176,6 +188,7 @@ object StockLucene {
 
   /** I(n) — inverse document frequency, tfn · log2((N+1)/(df+0.5)). */
   case object BIn extends Basic {
+    override val tfnLinear = true
     val tag = "In"
     def inf1(tfn: Double, df: Double, cf: Double, n: Double): Double =
       tfn * log2((n + 1.0) / (df + 0.5))
@@ -186,6 +199,7 @@ object StockLucene {
   /** I(ne) — inverse expected document frequency,
    * ne = N·(1 − ((N−1)/N)^cf). */
   case object BIne extends Basic {
+    override val tfnLinear = true
     val tag = "Ine"
     def inf1(tfn: Double, df: Double, cf: Double, n: Double): Double = {
       val ne = n * (1.0 - StrictMath.pow((n - 1.0) / n, cf))
@@ -199,6 +213,7 @@ object StockLucene {
 
   /** I(F) — inverse collection frequency, tfn · log2(1 + (N+1)/(cf+0.5)). */
   case object BIF extends Basic {
+    override val tfnLinear = true
     val tag = "IF"
     def inf1(tfn: Double, df: Double, cf: Double, n: Double): Double =
       tfn * log2(1.0 + (n + 1.0) / (cf + 0.5))
@@ -248,7 +263,9 @@ object StockLucene {
    * normalization) cell of `Models.java:17-34`. */
   final case class Dfr(basic: Basic, g: Gain, norm: Norm) extends Model {
     val name = s"DFR_${basic.tag}${g.tag}${norm.tag}"
-    override def ubSafe: Boolean = false
+    /** Block-max-safe iff Inf1 is linear in tfn (gain then preserves
+     * monotonicity: k·tfn/(tfn+1)) and tfn is (↑tf, ↓dl)-monotone. */
+    override def ubSafe: Boolean = basic.tfnLinear && norm.dlMonotone
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val tfn = norm.tfn(tf, docLen.toDouble, avgdl, cf, c)
@@ -321,7 +338,11 @@ object StockLucene {
    * `Models.java:36-46` distributions × lambdas × normalizations. */
   final case class Ib(dist: Dist, lam: Lam, norm: Norm) extends Model {
     val name = s"IB_${dist.tag}_${lam.tag}_${norm.tag}"
-    override def ubSafe: Boolean = false
+    /** Both LL and SPL are monotone ↑ in tfn for any λ > 0, λ ≠ 1 (LL is
+     * log2(1+tfn/λ); SPL's argument is monotone in w = tfn/(tfn+1) on both
+     * λ < 1 and λ > 1 branches), and λ is docLen-independent — block-max
+     * safe whenever the normalization is. */
+    override def ubSafe: Boolean = norm.dlMonotone
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double =
       kf * dist.score(norm.tfn(tf, docLen.toDouble, avgdl, cf, c),
@@ -337,7 +358,7 @@ object StockLucene {
    * byte-quantized length norm is an index-size trick, not semantics). */
   case object Classic extends Model {
     val name = "Classic"
-    override def ubSafe: Boolean = false
+    // √tf·idf²/√dl: monotone ↑tf, ↓dl — block-max safe
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val idf = 1.0 + math.log((n + 1.0) / (df + 1.0))
@@ -369,7 +390,7 @@ object StockLucene {
    * from the reference's log2-based DirichletLM (`DirichletLM.java:26-29`). */
   final case class LuceneLMDirichlet(mu: Double = 2000.0) extends Model {
     val name = s"LuceneLMDir$mu"
-    override def ubSafe: Boolean = false
+    // monotone ↑tf, ↓dl like the reference's DirichletLM (which is ubSafe)
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val p = (cf + 1.0) / (c + 1.0)

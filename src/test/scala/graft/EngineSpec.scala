@@ -88,6 +88,19 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("BMW ≡ oracle for every block-max-eligible stock-grid cell (57 models)") {
+    val eligible = graft.query.StockLucene.grid.filter(_.ubSafe)
+    // 36 DFR (In/Ine/IF x gains x H1/H2/Z/0) + 16 IB + Classic + BM25 + 3 LM
+    assert(eligible.size == 57)
+    eligible.foreach { m =>
+      val got = BlockMaxWand.search(index, topics, m, K, sentinelDocId = Some(SENT))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+        .sortBy(t => (t._1, t._3))
+      val want = Oracle.topk(turnsLocal, topics, m, K, SENT).sortBy(t => (t._1, t._3))
+      assert(got.toSeq == want, s"BMW diverged from oracle for ${m.name}")
+    }
+  }
+
   test("BMW ≡ exact under the Snowball stemming tag (fresh stemmed index)") {
     val tag = Analyzer.Tag.Snowball
     val dir = Files.createTempDirectory("graft-idx-stem").toString

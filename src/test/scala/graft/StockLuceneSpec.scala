@@ -122,9 +122,22 @@ class StockLuceneSpec extends AnyFunSuite {
     }
   }
 
-  test("DFR/IB grid is excluded from block-max pruning (non-monotone)") {
-    grid.collect { case m: Dfr => m }.foreach(m => assert(!m.ubSafe, m.name))
-    grid.collect { case m: Ib => m }.foreach(m => assert(!m.ubSafe, m.name))
+  test("block-max eligibility: exactly the provably-monotone cells") {
+    // DFR: linear-Inf1 basics (In/Ine/IF) x 3 gains x dl-monotone norms (not H3)
+    assert(grid.collect { case m: Dfr if m.ubSafe => m }.size == 3 * 3 * 4)
+    grid.collect { case m: Dfr => m }.foreach { m =>
+      assert(m.ubSafe == (Set[Basic](BIn, BIne, BIF)(m.basic) && m.norm != H3), m.name)
+    }
+    // IB: every distribution x lambda, dl-monotone norms only
+    assert(grid.collect { case m: Ib if m.ubSafe => m }.size == 2 * 2 * 4)
+    grid.collect { case m: Ib => m }.foreach(m => assert(m.ubSafe == (m.norm != H3), m.name))
+    // spot-check the monotonicity claim numerically on an eligible cell grid
+    val pts = for (tf <- 1 to 20) yield
+      Dfr(BIn, GB, H2).score(tf, 100L, avgdl, 1.0, df, cf, n, c)
+    assert(pts == pts.sorted, "DFR_InB2 must be non-decreasing in tf")
+    val dls = for (dl <- 10 to 200 by 10) yield
+      Ib(DistSPL, LamTTF, H1).score(3.0, dl.toLong, avgdl, 1.0, df, cf, n, c)
+    assert(dls == dls.sorted.reverse, "IB_SPL_TTF_1 must be non-increasing in docLen")
   }
 
   test("column expressions agree bit-for-bit with scala formulas across the grid") {
