@@ -1469,7 +1469,74 @@ object DriverQueries {
         |    * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))), 4) AS lucene_bm25,
         |  round(sum(mult * (ln(1 + ((1 - 0.7) * tf / dl) / (0.7 * (cf + 1) / (c + 1))))), 4) AS lucene_lmjm
         |FROM sp
-        |GROUP BY qid, doc_id""".stripMargin))
+        |GROUP BY qid, doc_id""".stripMargin)),
+
+    // R3 — fielded DisMax with minimum-should-match (Searcher.java:232-323),
+    // hash-gated: documents are split deterministically into a 'title' field
+    // (first 8 tokens, boost 0.9) and 'contents' (rest, boost 0.3); per-field
+    // BM25c(0.9,0.4) under per-field collection stats, DisjunctionMax
+    // max + 0.1·(sum−max) per term, msm(len) filter, top-20.
+    Spec("r3_fielded_dismax",
+      (s, d) => {
+        val docs = Transcripts.table(s, d, "documents")
+          .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+            split(col("text"), " ").as("toks"))
+        val fields = docs
+          .select(col("docId"), lit("title").as("field"), slice(col("toks"), 1, 8).as("ftoks"))
+          .unionByName(docs.select(col("docId"), lit("contents").as("field"),
+            expr("slice(toks, 9, greatest(size(toks) - 8, 0))").as("ftoks")))
+          .filter(size(col("ftoks")) > 0)
+        val fielded = fields
+          .select(col("docId"), col("field"), size(col("ftoks")).as("docLen"),
+            explode(col("ftoks")).as("term"))
+          .groupBy("docId", "field", "term", "docLen")
+          .agg(count(lit(1)).as("tf"))
+        graft.query.Fielded.search(fielded, topics, Scoring.BM25c(0.9, 0.4), K,
+            rounded = Some(4))
+          .withColumnRenamed("docId", "docid")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id, 'title' AS field, list_slice(toks, 1, 8) AS ftoks FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 'contents' AS field, list_slice(toks, 9, len(toks)) AS ftoks
+        |  FROM base WHERE len(toks) > 8),
+        |ftok AS (SELECT doc_id, field, len(ftoks) AS fdl, unnest(ftoks) AS term FROM f),
+        |ftf AS (SELECT doc_id, field, term, max(fdl) AS fdl, count(*) AS tf
+        |        FROM ftok GROUP BY doc_id, field, term),
+        |fstat AS (SELECT field, count(DISTINCT doc_id) AS fn, sum(tf) AS fc
+        |          FROM ftf GROUP BY field),
+        |fdict AS (SELECT field, term, count(*) AS df, sum(tf) AS cf
+        |          FROM ftf GROUP BY field, term),
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |qn AS (SELECT qid, count(*) AS nterms FROM qv GROUP BY qid),
+        |sc AS (
+        |  SELECT qv.qid AS qid, ftf.doc_id AS doc_id, qv.term AS term,
+        |    qv.mult AS mult, qn.nterms AS nterms,
+        |    (CASE ftf.field WHEN 'title' THEN 0.9 ELSE 0.3 END) * CAST(
+        |      (ftf.tf * (8.0 + 1.0) * 1.0 / (((8.0) + 1.0)
+        |         * (0.9 * ((1.0 - 0.4) + 0.4 * ftf.fdl / (fstat.fc * 1.0 / fstat.fn)) + ftf.tf)))
+        |      * (ln((fstat.fn - fdict.df + 0.5) / (fdict.df + 0.5)) / ln(2.0)) AS REAL) AS s
+        |  FROM qv
+        |  JOIN ftf ON qv.term = ftf.term
+        |  JOIN fdict ON ftf.field = fdict.field AND qv.term = fdict.term
+        |  JOIN fstat ON ftf.field = fstat.field
+        |  JOIN qn ON qv.qid = qn.qid),
+        |pt AS (SELECT qid, doc_id, term, max(mult) AS mult, max(nterms) AS nterms,
+        |         max(s) AS mx, sum(s) AS sm
+        |       FROM sc GROUP BY qid, doc_id, term),
+        |pd AS (SELECT qid, doc_id,
+        |         round(sum((mx + 0.1 * (sm - mx)) * mult), 4) AS score,
+        |         count(*) AS matched, max(nterms) AS n
+        |       FROM pt GROUP BY qid, doc_id
+        |       HAVING count(*) >= (CASE WHEN max(nterms) < 3 THEN max(nterms)
+        |                                WHEN max(nterms) < 5 THEN max(nterms) - 1
+        |                                ELSE max(nterms) - 2 END)),
+        |ranked AS (SELECT qid, 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, ('doc-' || CAST(doc_id AS VARCHAR) || '#0') ASC) AS INT) AS rank, score
+        |  FROM pd)
+        |SELECT qid, docid, rank, score FROM ranked WHERE rank <= $K""".stripMargin))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -29,10 +29,14 @@ object Fielded {
   def minimumShouldMatch(queryLen: Int): Int =
     if (queryLen < 3) queryLen else if (queryLen < 5) queryLen - 1 else queryLen - 2
 
+  /** @param rounded round the doc score to this many decimals and rank on
+   *   the rounded value (cross-engine float discipline for the DuckDB gate;
+   *   None = reference float semantics) */
   def search(fieldedTermDocs: DataFrame, topics: Seq[Topic], model: Scoring.Model,
              k: Int, boosts: Map[String, Double] = DEFAULT_BOOSTS,
              tie: Double = DEFAULT_TIE,
-             tag: Analyzer.Tag = Analyzer.Tag.NoStem): DataFrame = {
+             tag: Analyzer.Tag = Analyzer.Tag.NoStem,
+             rounded: Option[Int] = None): DataFrame = {
     val spark = fieldedTermDocs.sparkSession
     import spark.implicits._
 
@@ -65,8 +69,9 @@ object Fielded {
       .withColumn("termScore", (col("mx") + lit(tie) * (col("sm") - col("mx"))) * col("mult"))
 
     val msmUdf = udf(minimumShouldMatch _)
+    val scoreCol = rounded.fold(sum("termScore").cast("float"))(nd => round(sum("termScore"), nd))
     val perDoc = perTerm.groupBy("qid", "docId")
-      .agg(sum("termScore").cast("float").as("score"),
+      .agg(scoreCol.as("score"),
         count(lit(1)).as("matched"), first("nTerms").as("nTerms"))
       .filter(col("matched") >= msmUdf(col("nTerms").cast("int")))
 
