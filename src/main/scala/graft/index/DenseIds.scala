@@ -38,7 +38,20 @@ object DenseIds {
   def assign(df: DataFrame, idName: String, order: Column*): DataFrame =
     assign(df, idName, assumeSorted = false, order: _*)
 
-  def assign(df: DataFrame, idName: String, assumeSorted: Boolean, order: Column*): DataFrame = {
+  /** [[assign]], plus a cleanup handle that unpersists the internal
+   * post-shuffle cache (unsorted input only; no-op otherwise). Long-running
+   * callers that invoke the assignment repeatedly (e.g. one micro-batch at
+   * a time) MUST call the handle after the last pass over the result, or
+   * each call leaks one DISK_ONLY cached frame. */
+  def assignManaged(df: DataFrame, idName: String, assumeSorted: Boolean,
+                    order: Column*): (DataFrame, () => Unit) =
+    core(df, idName, assumeSorted, order)
+
+  def assign(df: DataFrame, idName: String, assumeSorted: Boolean, order: Column*): DataFrame =
+    core(df, idName, assumeSorted, order)._1
+
+  private def core(df: DataFrame, idName: String, assumeSorted: Boolean,
+                   order: Seq[Column]): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val ranged0 =
@@ -66,8 +79,9 @@ object DenseIds {
       val entry = (pid, acc); acc += n; entry
     }.toMap
 
-    ranged.withColumn(idName,
+    val out = ranged.withColumn(idName,
       element_at(typedLit(offsets), spark_partition_id()) +
         monotonically_increasing_id().bitwiseAND(lit(LocalIdxMask)))
+    (out, () => if (!assumeSorted) { ranged.unpersist(); () })
   }
 }

@@ -27,10 +27,16 @@ object Curation {
   def curate(df: DataFrame, idCol: String, textCol: String,
              langs: Option[Set[String]], minQuality: Double): DataFrame = {
     val deduped = Dedup.dropExactDuplicates(df, idCol, textCol)
-    val stats = TextAnalysis.textStats(deduped, idCol, textCol).select("id", "quality")
-    val lang = TextAnalysis.withLanguage(deduped, idCol, textCol)
-    val joined = lang.join(stats, "id")
-    val langFiltered = langs.fold(joined)(ls => joined.filter(col("lang_pred").isin(ls.toSeq: _*)))
+    // one projection over the deduped frame — language and quality are both
+    // per-row functions of the text, so deriving them as two frames joined
+    // on id would run the dedup window twice and add a corpus-sized shuffle
+    // join for nothing
+    val langUdf = udf(TextAnalysis.languageOf _)
+    val scored = deduped.select(
+      col(idCol).as("id"),
+      langUdf(col(textCol)).as("lang_pred"),
+      TextAnalysis.qualityExpr(col(textCol)).as("quality"))
+    val langFiltered = langs.fold(scored)(ls => scored.filter(col("lang_pred").isin(ls.toSeq: _*)))
     langFiltered
       .filter(col("quality") >= lit(minQuality)) // quality is already 6-dp rounded
       .select(col("id"), col("lang_pred"), col("quality"))

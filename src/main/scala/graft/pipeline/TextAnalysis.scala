@@ -21,6 +21,20 @@ object TextAnalysis {
    * uniqueness ratio, and a clamped linear quality score (a deterministic
    * proxy for the usual length/stopword/repetition heuristics).
    */
+  /** The 6-dp-rounded quality score as a standalone column expression, for
+   * callers that compose it into a single projection (see
+   * [[graft.pipeline.Curation.curate]]). */
+  def qualityExpr(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(textCol, " ")
+    val nTokens = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => array_contains(lit(STOPWORDS.toArray), t))).cast("double")
+    val stopRatio = nStop / nTokens
+    val uniqRatio = nUniq / nTokens
+    round(least(lit(1.0), greatest(lit(0.0),
+      lit(0.3) + lit(0.5) * uniqRatio + lit(1.5) * stopRatio - lit(0.002) * abs(nTokens - 60))), 6)
+  }
+
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
     val nTokens = size(toks).cast("double")

@@ -217,6 +217,18 @@ object BlockMaxWand {
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val bPlan = spark.sparkContext.broadcast(plan)
+    // Query-sensitive models: MATF's scalar score() reads the instance's
+    // queryLength (the reference's per-query setMaxOverlap), while the exact
+    // path reads In.qLen per row — substitute a per-qid instance here or BMW
+    // would score every query with the parser default (|q| = 1) and diverge
+    // from the exact path on multi-term queries.
+    val perQidModel: Map[Int, Scoring.Model] = model match {
+      case Scoring.MATF(_) =>
+        qterms.groupBy(_._1).view
+          .mapValues(ts => Scoring.MATF(ts.map(_._3).sum): Scoring.Model).toMap
+      case _ => Map.empty
+    }
+    val bModels = spark.sparkContext.broadcast(perQidModel)
     val nDocs = index.stats.numDocs.toDouble
     val nTokens = index.stats.numTokens.toDouble
 
@@ -230,17 +242,18 @@ object BlockMaxWand {
         val byTerm = it.toArray.groupBy(_.term)
           .view.mapValues(_.sortBy(_.minDoc)).toMap
         bPlan.value.iterator.flatMap { case (qid, terms) =>
+          val qModel = bModels.value.getOrElse(qid, model)
           val streams = terms.flatMap { case (term, mult, df, cf) =>
             byTerm.get(term).map { blocks =>
               val ub: PostingBlock => Double = b =>
-                math.max(0d, perTerm(model.score(b.maxTf.toDouble, b.minDocLen,
+                math.max(0d, perTerm(qModel.score(b.maxTf.toDouble, b.minDocLen,
                   nTokens / nDocs, 1.0, df.toDouble, cf.toDouble,
                   nDocs, nTokens)))
               new TermStream(blocks, mult, df, cf, ub)
             }
           }.toArray
           if (streams.isEmpty) Iterator.empty
-          else wand(streams, model, nDocs, nTokens, k, perTerm, finish).iterator
+          else wand(streams, qModel, nDocs, nTokens, k, perTerm, finish).iterator
             .map { case (score, doc) => (qid, doc, score) }
         }
       }

@@ -31,15 +31,21 @@ object Streams {
 
   /** First-seen exact dedup on a (possibly streaming) frame: one row per
    * distinct content hash, earliest arrival wins. With `watermarkOn` set,
-   * state for hashes older than the delay is dropped (the standard bounded
-   * near-real-time dedup trade). */
+   * [[org.apache.spark.sql.Dataset.dropDuplicatesWithinWatermark]] is used
+   * so state for hashes older than the delay really is evicted — a plain
+   * `dropDuplicates(hash)` never drops state unless the event-time column
+   * is part of the key, and would grow without bound on an unbounded
+   * stream. The trade: duplicates separated by more than the delay pass
+   * through (the standard bounded near-real-time dedup semantic). */
   def dedupByContent(df: DataFrame, idCol: String, textCol: String,
                      watermarkOn: Option[(String, String)] = None): DataFrame = {
-    val base = watermarkOn.fold(df) { case (tsCol, delay) => df.withWatermark(tsCol, delay) }
-    base
+    val hashed = watermarkOn
+      .fold(df) { case (tsCol, delay) => df.withWatermark(tsCol, delay) }
       .withColumn("text_hash", md5(col(textCol)))
-      .dropDuplicates("text_hash")
-      .select(col(idCol).as("id"), col("text_hash"))
+    val deduped =
+      if (watermarkOn.isDefined) hashed.dropDuplicatesWithinWatermark("text_hash")
+      else hashed.dropDuplicates("text_hash")
+    deduped.select(col(idCol).as("id"), col("text_hash"))
   }
 
   /** Event-time tumbling-window corpus stats: docs + analyzed-token count
@@ -79,11 +85,51 @@ object Streams {
    * arrival order, so score ties across batches break by arrival — the
    * standard streaming-ingest semantic (a batch rebuild re-sorts globally).
    */
+  private def markerPath(indexDir: String, name: String) = new Path(s"$indexDir/$name")
+
+  private def markerExists(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, name: String): Boolean = {
+    val p = markerPath(indexDir, name)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def writeMarker(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, name: String, body: String = ""): Unit = {
+    val p = markerPath(indexDir, name)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+  }
+
+  private def readMarker(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, name: String): Option[String] = {
+    val p = markerPath(indexDir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val b = new java.io.ByteArrayOutputStream()
+      try { var c = in.read(); while (c >= 0) { b.write(c); c = in.read() } } finally in.close()
+      Some(b.toString("UTF-8"))
+    }
+  }
+
+  /** @param batchId Structured Streaming micro-batch id: with it set, replays
+   *   of the same batch (foreachBatch is at-least-once) are IDEMPOTENT —
+   *   (1) a `_batch_<id>_done` marker short-circuits fully-applied batches;
+   *   (2) the id range `start` is persisted in a `_batch_<id>_start` sidecar
+   *   BEFORE any write, so a retry renumbers identically; (3) the posting
+   *   shards of a batch are deterministic from that start and written with
+   *   dynamic partition overwrite, so a retry REPLACES rather than appends.
+   *   The one non-idempotent step left is the docs append, guarded by its
+   *   own `_batch_<id>_docs` marker written immediately after the job-atomic
+   *   (committer v1) docs job — the exposure window is the marker write. */
   def appendBatch(turns: Dataset[Turn], indexDir: String,
                   tag: Analyzer.Tag = Analyzer.Tag.NoStem,
-                  docsPerShard: Long = 1 << 20): Unit = {
+                  docsPerShard: Long = 1 << 20,
+                  batchId: Option[Long] = None): Unit = {
     val spark = turns.sparkSession
     import spark.implicits._
+    if (batchId.exists(id => markerExists(spark, indexDir, s"_batch_${id}_done"))) return
     if (turns.isEmpty) return
     val docsDir = s"$indexDir/docs"
     val postingsDir = s"$indexDir/postings"
@@ -91,44 +137,64 @@ object Streams {
     spark.sparkContext.hadoopConfiguration
       .setInt("mapreduce.fileoutputcommitter.algorithm.version", 1)
 
-    val start = maxDocIdNum(spark, docsDir) match {
-      case None      => 0L
-      case Some(mx)  => ((mx / docsPerShard) + 1) * docsPerShard // next shard boundary
-    }
-    val withId = DenseIds.assign(
-        turns.toDF().select(
-          concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
-          col("text")),
-        "docIdNum0", assumeSorted = false, col("docId"))
+    val start = batchId.flatMap(id =>
+        readMarker(spark, indexDir, s"_batch_${id}_start").map(_.trim.toLong))
+      .getOrElse {
+        val v = maxDocIdNum(spark, docsDir) match {
+          case None      => 0L
+          case Some(mx)  => ((mx / docsPerShard) + 1) * docsPerShard // next shard boundary
+        }
+        batchId.foreach(id => writeMarker(spark, indexDir, s"_batch_${id}_start", v.toString))
+        v
+      }
+    val (withId0, cleanup) = DenseIds.assignManaged(
+      turns.toDF().select(
+        concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+        col("text")),
+      "docIdNum0", assumeSorted = false, col("docId"))
+    val withId = withId0
       .withColumn("docIdNum", col("docIdNum0") + lit(start))
       .drop("docIdNum0")
 
-    withId.select("docId", "docIdNum", "text").as[(String, Long, String)]
-      .mapPartitions(_.map { case (docId, num, text) =>
-        val dl =
-          if (tag == Analyzer.Tag.NoStem) Analyzer.countTokens(text).toLong
-          else Analyzer.analyze(text, tag).size.toLong
-        graft.model.DocEntry(docId, num, dl)
-      })
-      .write.mode("append").parquet(docsDir)
+    try {
+      val docsApplied = batchId.exists(id => markerExists(spark, indexDir, s"_batch_${id}_docs"))
+      if (!docsApplied) {
+        withId.select("docId", "docIdNum", "text").as[(String, Long, String)]
+          .mapPartitions(_.map { case (docId, num, text) =>
+            val dl =
+              if (tag == Analyzer.Tag.NoStem) Analyzer.countTokens(text).toLong
+              else Analyzer.analyze(text, tag).size.toLong
+            graft.model.DocEntry(docId, num, dl)
+          })
+          .write.mode("append").parquet(docsDir)
+        batchId.foreach(id => writeMarker(spark, indexDir, s"_batch_${id}_docs"))
+      }
 
-    PostingsBuilder.buildSegments(withId, tag, docsPerShard)
-      .toDF()
-      .write.mode("append").partitionBy("shard").parquet(postingsDir)
+      // dynamic overwrite: a replay rewrites exactly this batch's shard
+      // partitions (deterministic from `start`) instead of appending twice
+      PostingsBuilder.buildSegments(withId, tag, docsPerShard)
+        .toDF()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard").parquet(postingsDir)
 
-    // dict refresh from block metadata only (one small-row aggregation)
-    Dictionary.withIds(
-        spark.read.parquet(postingsDir)
-          .groupBy("term").agg(sum("n").as("df"), sum("sumTf").as("cf")))
-      .write.mode("overwrite").parquet(dictDir)
+      // dict refresh from block metadata only (one small-row aggregation)
+      Dictionary.withIds(
+          spark.read.parquet(postingsDir)
+            .groupBy("term").agg(sum("n").as("df"), sum("sumTf").as("cf")))
+        .write.mode("overwrite").parquet(dictDir)
+      batchId.foreach(id => writeMarker(spark, indexDir, s"_batch_${id}_done"))
+    } finally cleanup()
   }
 
   /** readStream → incremental index: `stream.writeStream` wired to
-   * [[appendBatch]] per micro-batch. Start + awaitTermination as usual. */
+   * [[appendBatch]] per micro-batch, idempotent under foreachBatch's
+   * at-least-once replay via the batchId. Start + awaitTermination as
+   * usual. */
   def indexSink(stream: Dataset[Turn], indexDir: String,
                 tag: Analyzer.Tag = Analyzer.Tag.NoStem,
                 docsPerShard: Long = 1 << 20): DataStreamWriter[Turn] =
-    stream.writeStream.foreachBatch { (batch: Dataset[Turn], _: Long) =>
-      appendBatch(batch, indexDir, tag, docsPerShard)
+    stream.writeStream.foreachBatch { (batch: Dataset[Turn], id: Long) =>
+      appendBatch(batch, indexDir, tag, docsPerShard, batchId = Some(id))
     }
 }

@@ -101,6 +101,30 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("BMW substitutes per-query MATF length (BMW ≡ exact for MATF, multi-term)") {
+    // MATF's scalar score() reads the instance queryLength; the exact path
+    // reads In.qLen per row — BMW must swap in MATF(Σ mult) per qid or the
+    // two paths diverge on every multi-term query.
+    val m = Scoring.MATF()
+    val got = BlockMaxWand.search(index, topics, m, K, sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    val td = Tokenize.termDocs(turns)
+    val want = Exact.search(td, Dictionary.termStats(td),
+        Tokenize.corpusStats(Tokenize.docs(turns)), topics, m, K,
+        sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.toSeq == want.toSeq)
+    // and against the independent oracle, per topic with the true |q|
+    topics.foreach { t =>
+      val qLen = graft.analysis.Analyzer.analyzeQuery(t.query, Analyzer.Tag.NoStem).size
+      val o = Oracle.topk(turnsLocal, Seq(t), Scoring.MATF(math.max(qLen, 1)), K, SENT)
+        .sortBy(x => (x._1, x._3))
+      assert(got.filter(_._1 == t.qid).toSeq == o, s"qid ${t.qid}")
+    }
+  }
+
   test("BMW ≡ exact under the Snowball stemming tag (fresh stemmed index)") {
     val tag = Analyzer.Tag.Snowball
     val dir = Files.createTempDirectory("graft-idx-stem").toString

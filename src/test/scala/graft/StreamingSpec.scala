@@ -53,6 +53,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("appendBatch replay with the same batchId is idempotent (at-least-once foreachBatch)") {
+    import spark.implicits._
+    val turns = Transcripts.generate(spark, 30, 4, seed = 11L, partitions = 2)
+    val dir = Files.createTempDirectory("graft-stream-replay-test").toString
+
+    Streams.appendBatch(turns, dir, docsPerShard = 32, batchId = Some(0L))
+    def fingerprint() = {
+      val idx = IndexBuild.load(spark, dir)
+      (idx.docs.count(),
+        idx.termDocs.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).sorted.toSeq,
+        idx.dict.collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3))).sorted.toSeq)
+    }
+    val first = fingerprint()
+
+    // full replay (e.g. crash after commit but before checkpoint write)
+    Streams.appendBatch(turns, dir, docsPerShard = 32, batchId = Some(0L))
+    assert(fingerprint() == first, "full replay must be a no-op")
+
+    // partial replay: docs applied but postings/dict lost mid-batch — the
+    // start sidecar + docs marker force identical renumbering, dynamic
+    // overwrite replaces the shard partitions instead of appending
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_0_done"), false)
+    Streams.appendBatch(turns, dir, docsPerShard = 32, batchId = Some(0L))
+    assert(fingerprint() == first, "replay after lost done-marker must converge, not duplicate")
+
+    // and a genuinely new batch still appends
+    val more = Transcripts.generate(spark, 10, 4, seed = 12L, partitions = 1)
+      .withColumn("conv_id", concat(lit("zz-"), col("conv_id"))).as[Turn]
+    Streams.appendBatch(more, dir, docsPerShard = 32, batchId = Some(1L))
+    assert(fingerprint()._1 == first._1 + 40)
+  }
+
   test("streaming dedup keeps the first-seen content hash across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
