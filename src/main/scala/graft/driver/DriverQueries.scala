@@ -1539,9 +1539,171 @@ object DriverQueries {
         |SELECT qid, docid, rank, score FROM ranked WHERE rank <= $K""".stripMargin))
   )
 
+  // ---- batch 9 (round 3): NCG / statAP metrics, natural-field retrieval ----
+
+  /** Synthetic prels (the statAP perl script's 5-column sampled qrels):
+   * same (qid, doc) universe as [[qrelsDf]] plus a deterministic inclusion
+   * probability iprob ∈ {0.2, 0.4, 0.6, 0.8}. */
+  private def prelsDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qids = topics.map(_.qid).toDF("qid")
+    Transcripts.table(s, d, "documents")
+      .select(col("doc_id"))
+      .crossJoin(broadcast(qids))
+      .filter((col("doc_id") + col("qid") * 7) % 5 === 0)
+      .select(col("qid"),
+        concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+        (col("doc_id") % 3).cast("int").as("judge"),
+        (lit(0.2) + (col("doc_id") % 4).cast("double") * lit(0.2)).as("iprob"))
+  }
+
+  private val prelsSqlCte =
+    s"""prels AS (SELECT q.qid AS qid,
+       |  'doc-' || CAST(d.doc_id AS VARCHAR) || '#0' AS docid,
+       |  CAST(d.doc_id % 3 AS INT) AS judge,
+       |  CAST(0.2 AS DOUBLE) + CAST(d.doc_id % 4 AS DOUBLE) * CAST(0.2 AS DOUBLE) AS iprob
+       |  FROM documents d CROSS JOIN (VALUES $qidValues) AS q(qid)
+       |  WHERE (d.doc_id + q.qid * 7) % 5 = 0)""".stripMargin
+
+  /** Topics over the natural document fields: content words plus `source` /
+   * `lang` metadata values (src0..src19, en/es/de/zh…). */
+  val fieldTopics: Seq[Topic] = Seq(
+    Topic(11, "spark merge"),          // content-only
+    Topic(12, "spark src7"),           // content + source metadata
+    Topic(13, "merge window en"),      // content + lang, 3 terms → msm 2
+    Topic(14, "src3 es"))              // metadata-only
+  private def fieldQValues: String =
+    Exact.queryTerms(fieldTopics, Analyzer.Tag.NoStem)
+      .map { case (qid, term, mult, _) => s"($qid, '$term', $mult)" }.mkString(", ")
+
+  val specs9: Seq[Spec] = Seq(
+
+    // NCG@10 (knn/Measure.java:20, trec_eval ncg_cut — eval/TrecEval.java:64-68):
+    // cumulated linear gain over ideal cumulated gain at the cutoff.
+    Spec("nc1_ncg",
+      (s, d) => Metrics.ncgAtK(
+          bm25Run(s, d).withColumnRenamed("docid", "docId"), qrelsDf(s, d), k = 10)
+        .select(col("qid"), round(col("ncg10"), 6).as("ncg10")),
+      Some(s"""WITH $CTES,
+        |$runSqlCte,
+        |$qrelsSqlCte,
+        |cg AS (SELECT r.qid AS qid,
+        |    sum(CAST(greatest(COALESCE(qr.judge, 0), 0) AS DOUBLE)) AS cg
+        |  FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.docid = qr.docid
+        |  WHERE r.rank <= 10 GROUP BY r.qid),
+        |icg AS (SELECT qid, sum(CAST(judge AS DOUBLE)) AS icg FROM (
+        |    SELECT qid, judge,
+        |      row_number() OVER (PARTITION BY qid ORDER BY judge DESC, docid ASC) AS irank
+        |    FROM qrels WHERE judge > 0) WHERE irank <= 10 GROUP BY qid),
+        |qq AS (SELECT DISTINCT qid FROM run)
+        |SELECT qq.qid AS qid,
+        |  round(CASE WHEN icg.icg IS NULL OR icg.icg = 0 THEN 0.0
+        |             ELSE COALESCE(cg.cg, 0.0) / icg.icg END, 6) AS ncg10
+        |FROM qq LEFT JOIN cg ON qq.qid = cg.qid LEFT JOIN icg ON qq.qid = icg.qid""".stripMargin)),
+
+    // statAP (statAP_MQ_eval_v4.pl:229-333 estimator; parsed by
+    // eval/StatAP.java): inferred AP over sampled judgments with inclusion
+    // probabilities.
+    Spec("sa1_statap",
+      (s, d) => Metrics.statAP(
+          bm25Run(s, d).withColumnRenamed("docid", "docId"), prelsDf(s, d))
+        .select(col("qid"), round(col("statap"), 6).as("statap")),
+      Some(s"""WITH $CTES,
+        |$runSqlCte,
+        |$prelsSqlCte,
+        |j AS (SELECT r.qid AS qid, r.docid AS docid, r.rank AS rank, p.judge AS judge, p.iprob AS iprob
+        |      FROM run r LEFT JOIN prels p ON r.qid = p.qid AND r.docid = p.docid),
+        |e AS (SELECT *, CASE WHEN judge > 0 THEN 1.0 / iprob ELSE 0.0 END AS relw FROM j),
+        |e2 AS (SELECT *, COALESCE(sum(relw) OVER (PARTITION BY qid ORDER BY rank
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prevsum FROM e),
+        |up AS (SELECT qid, sum(CASE WHEN judge > 0
+        |         THEN ((1.0 + prevsum) / rank) / iprob ELSE 0.0 END) AS up
+        |       FROM e2 GROUP BY qid),
+        |rq AS (SELECT qid, sum(1.0 / iprob) AS rq FROM prels WHERE judge > 0 GROUP BY qid),
+        |qq AS (SELECT DISTINCT qid FROM run)
+        |SELECT qq.qid AS qid,
+        |  round(CASE WHEN rq.rq IS NULL OR rq.rq = 0 THEN 0.0
+        |             ELSE COALESCE(up.up, 0.0) / rq.rq END, 6) AS statap
+        |FROM qq LEFT JOIN up ON qq.qid = up.qid LEFT JOIN rq ON qq.qid = rq.qid""".stripMargin)),
+
+    // R3b — fielded DisMax over the documents' NATURAL fields (VERDICT round-2
+    // "What's missing" #3; reference field mode `Indexer.java:413-512`):
+    // contents = text tokens (boost 0.3), source = the source column's value
+    // as a one-token field (boost 0.9), lang likewise (boost 0.5). Genuine
+    // per-field doclens/df/cf — no synthesized title split.
+    Spec("r3b_fielded_natural",
+      (s, d) => {
+        val docs = Transcripts.table(s, d, "documents")
+          .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+            col("text"), col("lang"), col("source"))
+        val contents = docs
+          .select(col("docId"), lit("contents").as("field"),
+            size(split(col("text"), " ")).cast("long").as("docLen"),
+            explode(split(col("text"), " ")).as("term"))
+          .groupBy("docId", "field", "term", "docLen")
+          .agg(count(lit(1)).as("tf"))
+          .select("docId", "field", "term", "docLen", "tf")
+        val meta = docs
+          .select(col("docId"), lit("source").as("field"), col("source").as("term"),
+            lit(1L).as("docLen"), lit(1L).as("tf"))
+          .unionByName(docs.select(col("docId"), lit("lang").as("field"),
+            col("lang").as("term"), lit(1L).as("docLen"), lit(1L).as("tf")))
+          .select("docId", "field", "term", "docLen", "tf")
+        graft.query.Fielded.search(contents.unionByName(meta), fieldTopics,
+            Scoring.BM25c(0.9, 0.4), K,
+            boosts = Map("source" -> 0.9, "lang" -> 0.5, "contents" -> 0.3),
+            rounded = Some(4))
+          .withColumnRenamed("docId", "docid")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks, lang, source FROM documents),
+        |ctok AS (SELECT doc_id, 'contents' AS field, len(toks) AS fdl, unnest(toks) AS term FROM base),
+        |ctf AS (SELECT doc_id, field, term, max(fdl) AS fdl, count(*) AS tf
+        |        FROM ctok GROUP BY doc_id, field, term),
+        |mtf AS (SELECT doc_id, 'source' AS field, source AS term, 1 AS fdl, 1 AS tf FROM base
+        |        UNION ALL
+        |        SELECT doc_id, 'lang' AS field, lang AS term, 1 AS fdl, 1 AS tf FROM base),
+        |ftf AS (SELECT * FROM ctf UNION ALL SELECT * FROM mtf),
+        |fstat AS (SELECT field, count(DISTINCT doc_id) AS fn, sum(tf) AS fc
+        |          FROM ftf GROUP BY field),
+        |fdict AS (SELECT field, term, count(*) AS df, sum(tf) AS cf
+        |          FROM ftf GROUP BY field, term),
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $fieldQValues) AS v(qid, term, mult)),
+        |qn AS (SELECT qid, count(*) AS nterms FROM qv GROUP BY qid),
+        |sc AS (
+        |  SELECT qv.qid AS qid, ftf.doc_id AS doc_id, qv.term AS term,
+        |    qv.mult AS mult, qn.nterms AS nterms,
+        |    (CASE ftf.field WHEN 'source' THEN 0.9 WHEN 'lang' THEN 0.5 ELSE 0.3 END) * CAST(
+        |      (ftf.tf * (8.0 + 1.0) * 1.0 / (((8.0) + 1.0)
+        |         * (0.9 * ((1.0 - 0.4) + 0.4 * ftf.fdl / (fstat.fc * 1.0 / fstat.fn)) + ftf.tf)))
+        |      * (ln((fstat.fn - fdict.df + 0.5) / (fdict.df + 0.5)) / ln(2.0)) AS REAL) AS s
+        |  FROM qv
+        |  JOIN ftf ON qv.term = ftf.term
+        |  JOIN fdict ON ftf.field = fdict.field AND qv.term = fdict.term
+        |  JOIN fstat ON ftf.field = fstat.field
+        |  JOIN qn ON qv.qid = qn.qid),
+        |pt AS (SELECT qid, doc_id, term, max(mult) AS mult, max(nterms) AS nterms,
+        |         max(s) AS mx, sum(s) AS sm
+        |       FROM sc GROUP BY qid, doc_id, term),
+        |pd AS (SELECT qid, doc_id,
+        |         round(sum((mx + 0.1 * (sm - mx)) * mult), 4) AS score,
+        |         count(*) AS matched, max(nterms) AS n
+        |       FROM pt GROUP BY qid, doc_id
+        |       HAVING count(*) >= (CASE WHEN max(nterms) < 3 THEN max(nterms)
+        |                                WHEN max(nterms) < 5 THEN max(nterms) - 1
+        |                                ELSE max(nterms) - 2 END)),
+        |ranked AS (SELECT qid, 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, ('doc-' || CAST(doc_id AS VARCHAR) || '#0') ASC) AS INT) AS rank, score
+        |  FROM pd)
+        |SELECT qid, docid, rank, score FROM ranked WHERE rank <= $K""".stripMargin))
+  )
+
+  private def allSpecs: Seq[Spec] =
+    specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8 ++ specs9
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8).map(s => s.name -> s.fn).toMap
+    allSpecs.map(s => s.name -> s.fn).toMap
 
   def oracleSql: Map[String, String] =
-    (specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8).flatMap(s => s.oracle.map(s.name -> _)).toMap
+    allSpecs.flatMap(s => s.oracle.map(s.name -> _)).toMap
 }

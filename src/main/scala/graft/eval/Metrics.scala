@@ -94,6 +94,69 @@ object Metrics {
       cols.tail.map(c => avg(c).as(s"mean_$c")): _*)
   }
 
+  /** NCG@k — Normalized Cumulative Gain, the reference's `Measure.NCG1000`
+   * (`knn/Measure.java:20`), parsed from its bundled trec_eval's
+   * `ncg_cut_k` lines (`eval/TrecEval.java:64-68`): cumulated LINEAR gain
+   * (gain = judge level, negatives floored at 0 — spam judgments don't
+   * subtract) over the ideal cumulated gain at the same cutoff. One row per
+   * queried qid; 0.0 when the query has no relevant documents. */
+  def ncgAtK(runs: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    val gains = judged(runs, qrels)
+      .filter(col("rank") <= k)
+      .groupBy("qid")
+      .agg(sum(greatest(col("judge"), lit(0)).cast("double")).as("cg"))
+    val wIdeal = Window.partitionBy("qid").orderBy(col("judge").desc, col("docId").asc)
+    val ideal = qrels.filter(col("judge") > 0)
+      .withColumn("irank", row_number().over(wIdeal))
+      .filter(col("irank") <= k)
+      .groupBy("qid")
+      .agg(sum(col("judge").cast("double")).as("icg"))
+    runs.select("qid").distinct()
+      .join(gains, Seq("qid"), "left")
+      .join(ideal, Seq("qid"), "left")
+      .select(col("qid"),
+        when(col("icg").isNull || col("icg") === 0, lit(0.0))
+          .otherwise(coalesce(col("cg"), lit(0.0)) / col("icg")).as(s"ncg$k"))
+  }
+
+  /**
+   * statAP — sampling-based inferred AP (Pavlu & Aslam's statAP estimator;
+   * the reference parses `scripts/statAP_MQ_eval_v4.pl` output in
+   * `eval/StatAP.java:1-167`; the estimator itself is re-derived from the
+   * script's core loop, `statAP_MQ_eval_v4.pl:229-333`):
+   *
+   *  - R̂(q)    = Σ_{sampled rel docs} 1/iprob          (estimated #relevant)
+   *  - walking the run by rank: for each sampled relevant doc at rank r,
+   *    prec_r = (1 + Σ_{sampled rel above r} 1/iprob) / r
+   *  - statAP = Σ prec_r / iprob_r / R̂(q)
+   *
+   * `prels(qid, docId, judge, iprob)` — the perl script's 5-column prel file
+   * with per-doc inclusion probabilities. Docs absent from prels are
+   * unsampled and contribute nothing. statAP = 0.0 when R̂ = 0 (the parser's
+   * "0.00000"/NA default, `StatAP.java:73`).
+   */
+  def statAP(runs: DataFrame, prels: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("rank").asc)
+    val j = runs.join(prels, Seq("qid", "docId"), "left")
+      .withColumn("relW",
+        when(col("judge") > 0, lit(1.0) / col("iprob")).otherwise(lit(0.0)))
+      .withColumn("prevSum",
+        coalesce(sum("relW").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("contrib",
+        when(col("judge") > 0,
+          ((lit(1.0) + col("prevSum")) / col("rank")) / col("iprob"))
+          .otherwise(lit(0.0)))
+    val up = j.groupBy("qid").agg(sum("contrib").as("up"))
+    val rq = prels.filter(col("judge") > 0)
+      .groupBy("qid").agg(sum(lit(1.0) / col("iprob")).as("rq"))
+    runs.select("qid").distinct()
+      .join(up, Seq("qid"), "left")
+      .join(rq, Seq("qid"), "left")
+      .select(col("qid"),
+        when(col("rq").isNull || col("rq") === 0, lit(0.0))
+          .otherwise(coalesce(col("up"), lit(0.0)) / col("rq")).as("statap"))
+  }
+
   /** R6 — Waterloo-spam re-rank (`spam/SpamTool.java:99-120`): drop run docs
    * with spam percentile < threshold, re-rank by (score desc, docId desc —
    * the reference's SubmissionFile.Tuple tie-break, `SubmissionFile.java:58-65`),

@@ -48,6 +48,23 @@ class FieldedSpec extends AnyFunSuite {
     assert(docs.head == "docA", "title-boosted match should rank first")
   }
 
+  test("plan shape: broadcast dict side is query-term-bounded (semi-join before agg)") {
+    import spark.implicits._
+    val fd = Seq(
+      ("docA", "title", "apple", 1L, 2L),
+      ("docA", "contents", "pie", 1L, 10L),
+      ("docB", "contents", "apple", 1L, 10L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val df = Fielded.search(fd, Seq(Topic(1, "apple pie")), Scoring.BM25c(0.9, 0.4), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the per-(field,term) dictionary aggregate must be fed by a semi-join
+    // against the broadcast query terms, so the later broadcast of the dict
+    // is bounded by |query terms| × |fields|, not the corpus vocabulary
+    assert(plan.contains("LeftSemi"),
+      s"fieldDict must be semi-joined to query terms before aggregation:\n$plan")
+    assert(!plan.toLowerCase.contains("udf"), s"no UDFs expected in the fielded plan:\n$plan")
+  }
+
   test("single-term query: msm(1)=1 keeps single-field matches") {
     import spark.implicits._
     val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))

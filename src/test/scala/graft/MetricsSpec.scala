@@ -48,6 +48,43 @@ class MetricsSpec extends AnyFunSuite {
     assert(math.abs(m.getAs[Double]("err5") - err) < 1e-9)
   }
 
+  test("NCG@k hand-check (linear gain, trec_eval ncg_cut semantics)") {
+    // retrieved gains in top-5: d1 → 2, d3 → 1 (d9 judge 3 unretrieved) → CG = 3
+    // ideal top-5 gains: 3 + 2 + 1 = 6 → NCG@5 = 0.5
+    val m = Metrics.ncgAtK(runs, qrels, k = 5).collect().head
+    assert(math.abs(m.getAs[Double]("ncg5") - 0.5) < 1e-12)
+    // cutoff 1: CG = 2 (d1); ideal@1 = 3 (d9) → 2/3
+    val m1 = Metrics.ncgAtK(runs, qrels, k = 1).collect().head
+    assert(math.abs(m1.getAs[Double]("ncg1") - 2.0 / 3) < 1e-12)
+  }
+
+  test("NCG@k is 0.0 for a query with no relevant docs") {
+    import spark.implicits._
+    val r2 = Seq((7, "d1", 1, 1.0)).toDF("qid", "docId", "rank", "score")
+    val q2 = Seq((7, "d1", 0)).toDF("qid", "docId", "judge")
+    assert(Metrics.ncgAtK(r2, q2, 5).collect().head.getAs[Double]("ncg5") == 0.0)
+  }
+
+  test("statAP hand-check (statAP_MQ_eval_v4.pl:229-333 estimator)") {
+    import spark.implicits._
+    // sampled: d1 (judge 2, iprob 0.5), d3 (judge 1, iprob 0.25), d9 (judge 3,
+    // iprob 0.5, unretrieved), d2 sampled non-rel (iprob 1.0)
+    val prels = Seq((1, "d1", 2, 0.5), (1, "d3", 1, 0.25), (1, "d9", 3, 0.5), (1, "d2", 0, 1.0))
+      .toDF("qid", "docId", "judge", "iprob")
+    // R̂ = 1/0.5 + 1/0.25 + 1/0.5 = 8
+    // rank 1 (d1): prec = (1+0)/1 = 1, contrib = 1/0.5 = 2; sum_prec = 2
+    // rank 3 (d3): prec = (1+2)/3 = 1, contrib = 1/0.25 = 4
+    // statAP = (2+4)/8 = 0.75
+    val m = Metrics.statAP(runs, prels).collect().head
+    assert(math.abs(m.getAs[Double]("statap") - 0.75) < 1e-12)
+  }
+
+  test("statAP is 0.0 when no sampled relevant docs exist") {
+    import spark.implicits._
+    val prels = Seq((1, "d2", 0, 1.0)).toDF("qid", "docId", "judge", "iprob")
+    assert(Metrics.statAP(runs, prels).collect().head.getAs[Double]("statap") == 0.0)
+  }
+
   test("spam re-rank drops low percentiles and re-ranks (score desc, docId desc)") {
     import spark.implicits._
     val spam = Seq(("d1", 90), ("d2", 10), ("d3", 55), ("d4", 55), ("d5", 70))
