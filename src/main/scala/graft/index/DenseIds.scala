@@ -79,8 +79,18 @@ object DenseIds {
       val entry = (pid, acc); acc += n; entry
     }.toMap
 
+    // Fail fast on partitioning drift: on the assumeSorted path the count
+    // job and the numbering job are two separate scans of an unpersisted
+    // source — a non-stable source (changed file listing, nondeterministic
+    // upstream) could present a partition id the offsets map has never
+    // seen, and a silent NULL here would corrupt every downstream id.
+    val offsetOrFail = coalesce(
+      element_at(typedLit(offsets), spark_partition_id()),
+      raise_error(concat(lit("DenseIds: partition "), spark_partition_id().cast("string"),
+        lit(" absent from the count pass — source partitioning drifted between scans")))
+        .cast("long"))
     val out = ranged.withColumn(idName,
-      element_at(typedLit(offsets), spark_partition_id()) +
+      offsetOrFail +
         monotonically_increasing_id().bitwiseAND(lit(LocalIdxMask)))
     (out, () => if (!assumeSorted) { ranged.unpersist(); () })
   }

@@ -75,6 +75,17 @@ object IndexBuild {
   /** Deliberate mid-build crash for the kill-resume test. */
   final class InjectedFailure(wave: Int) extends RuntimeException(s"injected failure after wave $wave")
 
+  /** Input partitions whose [min, max] docIdNum range intersects any wanted
+   * shard (shard = docIdNum / docsPerShard) — the wave-pruning keep set. */
+  private[graft] def partitionsForShards(bounds: Array[(Int, Long, Long)],
+                                         wanted: Set[Int],
+                                         docsPerShard: Long): Set[Int] =
+    bounds.filter { case (_, mn, mx) =>
+      val lo = (mn / docsPerShard).toInt
+      val hi = (mx / docsPerShard).toInt
+      wanted.exists(s => s >= lo && s <= hi)
+    }.map(_._1).toSet
+
   /**
    * Build (or resume) the full index.
    *
@@ -187,11 +198,36 @@ object IndexBuild {
         val per = math.max(1, math.ceil(todo.size.toDouble / math.max(1, waves)).toInt)
         todo.grouped(per).toSeq
       }
+      // Wave-scoped input pruning: when a wave covers only part of the shard
+      // space (multi-wave build, or a resume with committed shards), prune
+      // whole INPUT partitions whose docIdNum range misses the wave — a wave
+      // then reads ~its share of the input instead of scanning everything
+      // and discarding rows inside mapPartitions. Partition bounds come from
+      // one cheap columnar (pid → min/max docIdNum) job; the numbering's
+      // stability across passes is the same contract DenseIds already
+      // requires (and now fails fast on).
+      val pruneWaves = groups.size > 1 || done.nonEmpty
+      lazy val baseDs = {
+        import spark.implicits._
+        turnsWithId.select("docIdNum", "text").as[(Long, String)]
+      }
+      lazy val baseRdd = baseDs.rdd
+      lazy val partBounds: Array[(Int, Long, Long)] =
+        turnsWithId.groupBy(spark_partition_id().as("pid"))
+          .agg(min("docIdNum").as("mn"), max("docIdNum").as("mx"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       groups.zipWithIndex.foreach { case (shardGroup, wave) =>
         val t0 = System.nanoTime()
         val groupSet = shardGroup.toSet
-        PostingsBuilder.buildSegments(turnsWithId, tag, docsPerShard,
+        val blocks =
+          if (pruneWaves) {
+            val keep = partitionsForShards(partBounds, groupSet, docsPerShard)
+            PostingsBuilder.buildSegmentsRdd(spark,
+              org.apache.spark.rdd.PartitionPruningRDD.create(baseRdd, keep.contains),
+              tag, docsPerShard, shardFilter = groupSet.contains)
+          } else PostingsBuilder.buildSegments(turnsWithId, tag, docsPerShard,
             shardFilter = groupSet.contains)
+        blocks
           .toDF()
           .write.mode("append").partitionBy("shard").parquet(postingsDir)
         // per-shard lineage + metrics from the blocks just committed

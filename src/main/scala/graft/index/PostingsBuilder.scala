@@ -98,9 +98,30 @@ object PostingsBuilder {
                     shardFilter: Int => Boolean = _ => true): Dataset[PostingBlock] = {
     val spark = turnsWithId.sparkSession
     import spark.implicits._
-
     turnsWithId.select("docIdNum", "text").as[(Long, String)]
-      .mapPartitions { it =>
+      .mapPartitions(it => segmentIterator(it, tag, docsPerShard, blockSize, shardFilter))
+  }
+
+  /** [[buildSegments]] over a pre-pruned RDD — the wave-resume path prunes
+   * whole input partitions by their docIdNum range
+   * ([[org.apache.spark.rdd.PartitionPruningRDD]]), so a wave never reads
+   * (or generates) rows outside its shard span. */
+  def buildSegmentsRdd(spark: org.apache.spark.sql.SparkSession,
+                       rdd: org.apache.spark.rdd.RDD[(Long, String)],
+                       tag: Analyzer.Tag,
+                       docsPerShard: Long,
+                       blockSize: Int = Codec.BLOCK_SIZE,
+                       shardFilter: Int => Boolean = _ => true): Dataset[PostingBlock] = {
+    import spark.implicits._
+    spark.createDataset(
+      rdd.mapPartitions(it => segmentIterator(it, tag, docsPerShard, blockSize, shardFilter)))
+  }
+
+  /** The fused tokenize→invert→flush→compress segment pass over one
+   * partition's (docIdNum, text) rows. */
+  private def segmentIterator(it: Iterator[(Long, String)], tag: Analyzer.Tag,
+                              docsPerShard: Long, blockSize: Int,
+                              shardFilter: Int => Boolean): Iterator[PostingBlock] =
         new Iterator[PostingBlock] {
           private val open = new java.util.HashMap[String, TermPostings]()
           private val counter = new TokenCounter() // zero-alloc NoStem fast path
@@ -172,8 +193,6 @@ object PostingsBuilder {
           }
           def next(): PostingBlock = { if (!hasNext) throw new NoSuchElementException; flushed.next() }
         }
-      }
-  }
 
   /** Expand blocks back to (shard, term, docIdNum, tf, docLen) rows — the
    * decode side of the codec, used by the exact-over-blocks path and by

@@ -151,7 +151,12 @@ object StockLucene {
   }
 
   /** G — geometric approximation of the Bose-Einstein,
-   * λ = F/(N+F) with F = cf. */
+   * λ = F/(N+F) with F = cf.
+   *
+   * Deliberate deviation from stock Lucene: `BasicModelG` uses
+   * F = totalTermFreq + 1; this grid keeps the published DFR form F = cf
+   * (consistent with the engine's other DFR cells). The cells are
+   * name-compatible, not bit-faithful to Lucene here. */
   case object BG extends Basic {
     val tag = "G"
     def inf1(tfn: Double, df: Double, cf: Double, n: Double): Double = {
@@ -166,7 +171,11 @@ object StockLucene {
 
   /** Be — limiting form of the Bose-Einstein via Stirling's f(z,m) =
    * (m+0.5)·log2(z/m) + (z−m)·log2(z); F = cf, tfn capped just below F so
-   * f's second argument stays positive. */
+   * f's second argument stays positive.
+   *
+   * Deliberate deviation from stock Lucene: `BasicModelBE` uses
+   * F = totalTermFreq + 1; this grid keeps the published DFR form F = cf
+   * (see [[BG]]). */
   case object BBe extends Basic {
     val tag = "Be"
     private def f(z: Double, m: Double): Double =
@@ -361,7 +370,7 @@ object StockLucene {
     // √tf·idf²/√dl: monotone ↑tf, ↓dl — block-max safe
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
-      val idf = 1.0 + math.log((n + 1.0) / (df + 1.0))
+      val idf = 1.0 + StrictMath.log((n + 1.0) / (df + 1.0))
       kf * math.sqrt(tf) * idf * idf / math.sqrt(docLen.toDouble)
     }
     def expr(in: In): Column = {
@@ -377,7 +386,7 @@ object StockLucene {
     val name = s"LuceneBM25k${k1}b$b"
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
-      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val idf = StrictMath.log(1.0 + (n - df + 0.5) / (df + 0.5))
       kf * idf * tf / (tf + k1 * (1.0 - b + b * docLen / avgdl))
     }
     def expr(in: In): Column = {
@@ -387,19 +396,25 @@ object StockLucene {
   }
 
   /** Stock LM Dirichlet (µ=2000, natural log, p = (cf+1)/(C+1)) — distinct
-   * from the reference's log2-based DirichletLM (`DirichletLM.java:26-29`). */
+   * from the reference's log2-based DirichletLM (`DirichletLM.java:26-29`).
+   * Like Lucene's LMDirichletSimilarity, a negative per-term score (long
+   * doc / low tf) is clamped to 0 so matched docs never rank below
+   * unmatched ones. */
   final case class LuceneLMDirichlet(mu: Double = 2000.0) extends Model {
     val name = s"LuceneLMDir$mu"
-    // monotone ↑tf, ↓dl like the reference's DirichletLM (which is ubSafe)
+    // monotone ↑tf, ↓dl like the reference's DirichletLM (which is ubSafe);
+    // the 0-clamp preserves both monotonicities
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val p = (cf + 1.0) / (c + 1.0)
-      kf * (math.log(1.0 + tf / (mu * p)) + math.log(mu / (docLen + mu)))
+      val s = StrictMath.log(1.0 + tf / (mu * p)) + StrictMath.log(mu / (docLen + mu))
+      kf * math.max(s, 0.0)
     }
     def expr(in: In): Column = {
       val p = (in.cf + lit(1.0)) / (in.c + lit(1.0))
-      in.kf * (log(lit(1.0) + in.tf / (lit(mu) * p)) +
-        log(lit(mu) / (in.docLen + lit(mu))))
+      val s = log(lit(1.0) + in.tf / (lit(mu) * p)) +
+        log(lit(mu) / (in.docLen + lit(mu)))
+      in.kf * greatest(s, lit(0.0))
     }
   }
 
@@ -410,7 +425,7 @@ object StockLucene {
     def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
               df: Double, cf: Double, n: Double, c: Double): Double = {
       val p = (cf + 1.0) / (c + 1.0)
-      kf * math.log(1.0 + ((1.0 - lambda) * tf / docLen) / (lambda * p))
+      kf * StrictMath.log(1.0 + ((1.0 - lambda) * tf / docLen) / (lambda * p))
     }
     def expr(in: In): Column = {
       val p = (in.cf + lit(1.0)) / (in.c + lit(1.0))

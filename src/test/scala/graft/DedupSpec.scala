@@ -72,6 +72,42 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("minhashLsh caches only (id, sig) — shingle sets are never pinned") {
+    import spark.implicits._
+    val texts = (0 until 20).map(i => (i.toLong, randomTokens(40).mkString(" ")))
+    val df = (texts ++ Seq((50L, texts(1)._2))).toDF("doc_id", "text")
+    val out = minhashLsh(df, "doc_id", "text", threshold = 0.9)
+    out.collect()
+    val cachedCols = out.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.output.map(_.name)
+    }.flatten
+    assert(cachedCols.nonEmpty, "expected a cached signature frame in the plan")
+    assert(!cachedCols.contains("shingles"),
+      s"full-corpus shingle arrays must not be cached (pinned: ${cachedCols.mkString(",")})")
+  }
+
+  test("simhashPairs: identical-fingerprint mass collapses before the bucket join") {
+    import spark.implicits._
+    // 120 byte-identical docs (one degenerate fingerprint) + one near-dup +
+    // background docs: output must contain all C(120,2) intra pairs at dist 0
+    // and the cross pair, with the chunk join running over DISTINCT
+    // fingerprints (plan carries the groupBy(simhash) aggregate)
+    val base = randomTokens(150)
+    val same = (0 until 120).map(i => (i.toLong, base.mkString(" ")))
+    val near = Seq((500L, base.updated(0, "tweak").mkString(" ")))
+    val bg = (600 until 610).map(i => (i.toLong, randomTokens(150).mkString(" ")))
+    val df = (same ++ near ++ bg).toDF("doc_id", "text")
+    val pairs = simhashPairs(df, "doc_id", "text", maxDist = 6)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val intra = rows.filter { case (a, b, _) => a < 120 && b < 120 }
+    assert(intra.length == 120 * 119 / 2, s"expected all intra pairs, got ${intra.length}")
+    assert(intra.forall(_._3 == 0))
+    assert(rows.count { case (a, b, _) => b == 500L && a < 120 } == 120,
+      "every member of the identical group must pair with the near-dup")
+    assert(rows.distinct.length == rows.length, "no duplicate pairs")
+  }
+
   test("simhashPairs finds near-identical docs via chunk buckets") {
     import spark.implicits._
     val base = randomTokens(200)

@@ -200,6 +200,44 @@ class EngineSpec extends AnyFunSuite {
       Set("shard", "nBlocks", "nPostings", "nTerms", "sumMaxTf", "wave", "wallMs"))
   }
 
+  test("wave-scoped input pruning: waves read only partitions covering their shards") {
+    import spark.implicits._
+    // keep-set math, incl. a shard-boundary-straddling partition
+    val bounds = Array((0, 0L, 99L), (1, 100L, 199L), (2, 200L, 299L), (3, 300L, 399L))
+    assert(IndexBuild.partitionsForShards(bounds, Set(0), 100L) == Set(0))
+    assert(IndexBuild.partitionsForShards(bounds, Set(1, 2), 100L) == Set(1, 2))
+    val straddle = Array((0, 0L, 149L), (1, 150L, 399L))
+    assert(IndexBuild.partitionsForShards(straddle, Set(1), 100L) == Set(0, 1))
+    assert(IndexBuild.partitionsForShards(straddle, Set(3), 100L) == Set(1))
+
+    // the pruned-RDD build path really skips partitions: 4 sorted partitions
+    // of 100 docs each; pruning to shards {2,3} must touch 2 RDD partitions
+    // and reproduce exactly those shards' postings
+    val sorted = Transcripts.generate(spark, 400, 1, seed = 9L, partitions = 4)
+    val withId = graft.index.DenseIds.assign(
+      sorted.toDF().select(
+        concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+        col("text")),
+      "docIdNum", col("docId"))
+    val baseRdd = withId.select("docIdNum", "text").as[(Long, String)].rdd
+    val pb = withId.groupBy(spark_partition_id().as("pid"))
+      .agg(min("docIdNum").as("mn"), max("docIdNum").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val keep = IndexBuild.partitionsForShards(pb, Set(2, 3), 100L)
+    val pruned = org.apache.spark.rdd.PartitionPruningRDD.create(baseRdd, keep.contains)
+    assert(pruned.partitions.length == 2,
+      s"expected 2 surviving partitions, got ${pruned.partitions.length}")
+    val prunedBlocks = graft.index.PostingsBuilder
+      .buildSegmentsRdd(spark, pruned, Analyzer.Tag.NoStem, 100L,
+        shardFilter = Set(2, 3).contains)
+      .collect()
+    val fullBlocks = graft.index.PostingsBuilder
+      .buildSegments(withId, Analyzer.Tag.NoStem, 100L, shardFilter = Set(2, 3).contains)
+      .collect()
+    def key(b: graft.model.PostingBlock) = (b.shard, b.term, b.blockNo, b.n, b.minDoc, b.maxDoc)
+    assert(prunedBlocks.map(key).sorted.toSeq == fullBlocks.map(key).sorted.toSeq)
+  }
+
   test("zero-shuffle sorted build (inputSorted=true) produces an identical index") {
     val dir = Files.createTempDirectory("graft-sorted").toString
     IndexBuild.build(turns, dir, docsPerShard = 100, inputSorted = true)

@@ -87,6 +87,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(fingerprint()._1 == first._1 + 40)
   }
 
+  test("appendBatch numbering starts from the persisted _hwm marker, not a docs scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-hwm-test").toString
+    val a = Transcripts.generate(spark, 10, 2, seed = 21L, partitions = 1)
+    Streams.appendBatch(a, dir, docsPerShard = 32)
+    // forge the high-water mark far past the real max docIdNum (19): if the
+    // next batch scanned the docs table it would start at shard boundary 32;
+    // honoring the marker puts it at ((999/32)+1)*32 = 1024
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_hwm"), true)
+    out.write("999".getBytes("UTF-8")); out.close()
+    val b = Transcripts.generate(spark, 5, 2, seed = 22L, partitions = 1)
+      .withColumn("conv_id", concat(lit("zz-"), col("conv_id"))).as[Turn]
+    Streams.appendBatch(b, dir, docsPerShard = 32)
+    val minB = spark.read.parquet(s"$dir/docs")
+      .filter(col("docId").startsWith("zz-"))
+      .agg(min("docIdNum")).head().getLong(0)
+    assert(minB == 1024L,
+      s"batch start must come from the _hwm marker (expected 1024, got $minB)")
+  }
+
+  test("dict refresh merges the previous snapshot + batch delta (not a full postings re-agg)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-dictmerge-test").toString
+    val a = Transcripts.generate(spark, 10, 2, seed = 31L, partitions = 1)
+    Streams.appendBatch(a, dir, docsPerShard = 32)
+    // plant a synthetic term into the current snapshot: a full re-aggregation
+    // of the postings dir would drop it; the incremental merge must carry it
+    Seq(("zz_tampered", 999999L, 7L, 9L)).toDF("term", "termId", "df", "cf")
+      .write.mode("append").parquet(s"$dir/dicts/v=1")
+    val b = Transcripts.generate(spark, 5, 2, seed = 32L, partitions = 1)
+      .withColumn("conv_id", concat(lit("zz-"), col("conv_id"))).as[Turn]
+    Streams.appendBatch(b, dir, docsPerShard = 32)
+    val row = spark.read.parquet(s"$dir/dict")
+      .filter(col("term") === "zz_tampered").collect()
+    assert(row.length == 1 && row.head.getAs[Long]("df") == 7L,
+      "incremental dict merge must build on the previous snapshot")
+  }
+
+  test("distinct stream tokens isolate batch markers (fresh checkpoint restarts at id 0)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-token-test").toString
+    val d1 = Transcripts.generate(spark, 8, 2, seed = 41L, partitions = 1)
+      .withColumn("conv_id", concat(lit("sa-"), col("conv_id"))).as[Turn]
+    val d2 = Transcripts.generate(spark, 6, 2, seed = 42L, partitions = 1)
+      .withColumn("conv_id", concat(lit("sb-"), col("conv_id"))).as[Turn]
+    // query A commits its batch 0; query B (fresh checkpoint → ids restart
+    // at 0) must NOT be short-circuited by A's done marker
+    Streams.appendBatch(d1, dir, docsPerShard = 32, batchId = Some(0L), runToken = Some("qa"))
+    Streams.appendBatch(d2, dir, docsPerShard = 32, batchId = Some(0L), runToken = Some("qb"))
+    val docs = spark.read.parquet(s"$dir/docs")
+    assert(docs.filter(col("docId").startsWith("sa-")).count() == 16L)
+    assert(docs.filter(col("docId").startsWith("sb-")).count() == 12L,
+      "second query's batch 0 was dropped by the first query's stale marker")
+  }
+
+  test("committed batches garbage-collect old sidecar markers") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-gc-test").toString
+    (0 to 3).foreach { i =>
+      val d = Transcripts.generate(spark, 4, 2, seed = 50L + i, partitions = 1)
+        .withColumn("conv_id", concat(lit(s"g$i-"), col("conv_id"))).as[Turn]
+      Streams.appendBatch(d, dir, docsPerShard = 32, batchId = Some(i.toLong),
+        runToken = Some("gc"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markers = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("_run_gc_batch_"))
+    // after batch 3 commits, only batches ≥ 2 keep sidecars
+    assert(markers.forall(m => m.contains("batch_2_") || m.contains("batch_3_")),
+      s"stale sidecars not collected: ${markers.mkString(", ")}")
+  }
+
   test("streaming dedup keeps the first-seen content hash across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
