@@ -11,15 +11,19 @@ import java.util.Locale
  * analysis/Analyzers.java:85-245`); query and index side share the same
  * analyzer (`Analyzers.java:58-74`).
  *
- * We re-implement two chains from public UAX#29 word-break semantics:
+ * Chains re-implemented from public UAX#29 word-break semantics:
  *
  *  - [[Tag.NoStem]]  — standard word-break + lowercase
  *                      (`Analyzers.java:89-93`)
- *  - [[Tag.NoStemPossessive]] — NoStem + english-possessive strip, the
- *                      non-stemming prefix of the reference's default KStem
- *                      chain (`Analyzers.java:95-101`); full KStem is a
- *                      dictionary stemmer and deliberately out of scope
- *                      (SURVEY.md §7.7).
+ *  - [[Tag.NoStemPossessive]] — NoStem + english-possessive strip
+ *                      (the shared non-stemming prefix of the stemmed
+ *                      chains, `Analyzers.java:95-101`)
+ *  - [[Tag.Snowball]] — + Porter2 from the published Snowball spec
+ *                      (`Analyzers.java:103-109`)
+ *  - [[Tag.KStem]]   — + the published Krovetz rules over a documented
+ *                      subset lexicon (the reference's DEFAULT tag,
+ *                      `Analyzers.java:95-101`; see [[KStem]] for the
+ *                      subset-lexicon deviation)
  *
  * Word-break approximation of UAX#29 as implemented by Lucene's standard
  * tokenizer: tokens are maximal runs of Unicode letters/digits, where a
@@ -37,7 +41,12 @@ object Analyzer {
      * englishpossessive → snowballporter(English)
      * (`Analyzers.java:103-109`); the stemmer is [[Porter2]]. */
     case object Snowball extends Tag { val name = "Snowball" }
-    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball)
+    /** The reference's DEFAULT index chain: standard tokenizer → lowercase
+     * → englishpossessive → kstem (`Analyzers.java:95-101`,
+     * `cmdline/IndexerTool.java:42-43`); the stemmer is [[KStem]] — the
+     * published Krovetz rules over a documented subset lexicon. */
+    case object KStem extends Tag { val name = "KStem" }
+    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball, KStem)
     def of(name: String): Tag = all.find(_.name.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown analyzer tag: $name"))
   }
@@ -133,6 +142,8 @@ object Analyzer {
       case Tag.NoStemPossessive => base.result().map(stripPossessive).filter(_.nonEmpty)
       case Tag.Snowball =>
         base.result().map(t => Porter2.stem(stripPossessive(t))).filter(_.nonEmpty)
+      case Tag.KStem =>
+        base.result().map(t => KStem.stem(stripPossessive(t))).filter(_.nonEmpty)
     }
   }
 

@@ -1,0 +1,220 @@
+package graft.analysis
+
+/**
+ * Krovetz inflectional stemmer — rule-faithful re-implementation from the
+ * published algorithm (R. Krovetz, "Viewing Morphology as an Inference
+ * Process", SIGIR 1993), the stemmer behind the reference's DEFAULT index
+ * tag (`analysis/Analyzers.java:95-101`, default at
+ * `cmdline/IndexerTool.java:42-43`).
+ *
+ * Krovetz's design: inflectional suffix removal (plural, past tense,
+ * present participle) where a LEXICON arbitrates between candidate stems
+ * (keep the -e? undouble the consonant? leave the word alone?). The
+ * reference's Lucene `KStemFilter` ships a ~30k-entry lexicon; embedding
+ * that wholesale is neither possible (we only re-implement from the
+ * published algorithm) nor useful at transcript scale. This implementation
+ * is the COMPLETE rule skeleton with a documented SUBSET lexicon:
+ *
+ *  - [[Exceptions]] — the paper's direct-conflation table for irregular
+ *    morphology (children → child, …).
+ *  - [[Lexicon]] — head words that (a) must never be stemmed (species,
+ *    thing, during, …) and (b) license e-restoration (filing → file
+ *    because "file" is a word; walking → walk because "walke" is not).
+ *
+ * Consequence (documented deviation): conflations that depend on lexicon
+ * entries OUTSIDE the subset fall back to the deterministic rule outcome
+ * (e.g. an unusual "-es" noun may keep its "-e"). The rules themselves —
+ * order, guards, undoubling, y-restoration — follow the paper exactly.
+ * Golden-gated by `g2_kstem_golden`.
+ */
+object KStem {
+
+  /** Direct conflations for irregular forms (paper §3 "irregular
+   * morphology" table, subset). */
+  val Exceptions: Map[String, String] = Map(
+    "children" -> "child", "men" -> "man", "women" -> "woman",
+    "feet" -> "foot", "teeth" -> "tooth", "geese" -> "goose",
+    "mice" -> "mouse", "lice" -> "louse", "oxen" -> "ox",
+    "dice" -> "die", "indices" -> "index", "matrices" -> "matrix",
+    "vertices" -> "vertex", "indexes" -> "index",
+    "wives" -> "wife", "knives" -> "knife", "lives" -> "life",
+    "leaves" -> "leaf", "halves" -> "half", "shelves" -> "shelf",
+    "data" -> "datum", "criteria" -> "criterion", "phenomena" -> "phenomenon",
+    "went" -> "go", "gone" -> "go", "ran" -> "run", "took" -> "take",
+    "taken" -> "take", "gave" -> "give", "given" -> "give",
+    "wrote" -> "write", "written" -> "write", "came" -> "come",
+    "saw" -> "see", "seen" -> "see", "made" -> "make", "found" -> "find",
+    "got" -> "get", "gotten" -> "get", "sent" -> "send", "built" -> "build",
+    "kept" -> "keep", "held" -> "hold", "left" -> "leave", "meant" -> "mean",
+    "met" -> "meet", "paid" -> "pay", "said" -> "say", "sold" -> "sell",
+    "told" -> "tell", "thought" -> "think", "brought" -> "bring",
+    "bought" -> "buy", "caught" -> "catch", "taught" -> "teach",
+    "chose" -> "choose", "chosen" -> "choose", "drew" -> "draw",
+    "drawn" -> "draw", "grew" -> "grow", "grown" -> "grow",
+    "knew" -> "know", "known" -> "know", "threw" -> "throw",
+    "thrown" -> "throw", "spoke" -> "speak", "spoken" -> "speak",
+    "stood" -> "stand", "understood" -> "understand", "began" -> "begin",
+    "begun" -> "begin", "broke" -> "break", "broken" -> "break",
+    "fell" -> "fall", "fallen" -> "fall", "felt" -> "feel", "lost" -> "lose",
+    "read" -> "read", "ate" -> "eat", "eaten" -> "eat",
+    "ran" -> "run", "swam" -> "swim", "sang" -> "sing", "sung" -> "sing",
+    "rang" -> "ring", "rung" -> "ring", "wore" -> "wear", "worn" -> "wear")
+
+  /** Head-word subset: protected words (returned unchanged) and the
+   * e-final vocabulary that licenses e-restoration after -ed / -ing / -es
+   * removal. */
+  val Lexicon: Set[String] = Set(
+    // protected: look inflected but are head words
+    "species", "series", "news", "bus", "plus", "analysis", "basis",
+    "thesis", "crisis", "physics", "mathematics", "statistics", "economics",
+    "politics", "ethics", "always", "perhaps", "its", "this", "his", "is",
+    "was", "has", "does", "yes", "gas", "alias", "atlas", "bias", "canvas",
+    "christmas", "campus", "status", "virus", "census", "corpus", "focus",
+    "bonus", "genus", "chaos", "lens", "tennis",
+    "thing", "king", "sing", "ring", "spring", "string", "bring", "wing",
+    "swing", "sting", "cling", "fling", "during", "morning", "evening",
+    "nothing", "something", "anything", "everything", "sibling", "ceiling",
+    "darling", "dumpling", "herring", "lightning", "pudding", "shilling",
+    "willing", "cunning", "sterling",
+    "red", "bed", "fed", "led", "wed", "shed", "sled", "bred", "speed",
+    "need", "feed", "seed", "deed", "reed", "breed", "creed", "greed",
+    "indeed", "hundred", "sacred", "hatred", "kindred", "naked", "wicked",
+    "rugged", "wretched", "crooked", "united", "infrared",
+    // e-final vocabulary: licenses e-restoration
+    "use", "file", "make", "take", "give", "come", "write", "have", "live",
+    "move", "save", "serve", "time", "care", "share", "change", "charge",
+    "close", "cause", "create", "store", "merge", "manage", "note", "name",
+    "place", "trace", "race", "face", "page", "line", "pipe", "code",
+    "type", "state", "date", "rate", "gate", "late", "value", "issue",
+    "argue", "queue", "route", "cache", "delete", "update", "compute",
+    "execute", "compile", "invoke", "provide", "decide", "divide", "guide",
+    "hide", "ride", "side", "size", "include", "exclude", "reduce",
+    "produce", "introduce", "announce", "balance", "advance", "enhance",
+    "replace", "release", "increase", "decrease", "lease", "please",
+    "parse", "browse", "response", "base", "case", "phrase", "praise",
+    "raise", "rise", "wise", "use", "fuse", "house", "mouse", "pause",
+    "engage", "image", "message", "package", "stage", "usage", "storage",
+    "language", "arrange", "exchange", "range", "orange", "challenge",
+    "machine", "define", "combine", "examine", "determine", "imagine",
+    "engine", "one", "none", "zone", "phone", "tone", "stone", "bone",
+    "done", "scene", "gene", "module", "rule", "schedule", "scale",
+    "sample", "example", "couple", "people", "simple", "table", "enable",
+    "disable", "handle", "bundle", "single", "circle", "cycle", "style",
+    "square", "compare", "prepare", "declare", "score", "core", "more",
+    "before", "explore", "ignore", "restore", "measure", "ensure",
+    "capture", "feature", "figure", "future", "nature", "picture",
+    "structure", "configure", "require", "acquire", "desire", "fire",
+    "hire", "wire", "expire", "retire", "entire", "secure", "cure", "pure",
+    "die", "tie", "lie", "pie", "free", "tree", "see", "agree", "degree",
+    "three", "knee", "bee", "fee", "flee", "glee", "guarantee",
+    "believe", "receive", "achieve", "leave", "weave", "drive", "arrive",
+    "derive", "survive", "active", "native", "positive", "negative",
+    "relative", "love", "above", "improve", "prove", "remove", "approve",
+    "solve", "resolve", "involve", "evolve", "observe", "reserve",
+    "preserve", "deserve", "curve", "nerve", "carve", "starve", "waste",
+    "taste", "paste", "vote", "quote", "promote", "write", "invite",
+    "site", "suite", "white", "polite", "definite", "favorite", "finite",
+    "unite", "bite", "cite", "excite", "edit", "smile", "while", "mile",
+    "pile", "tile", "profile", "mobile", "fragile", "give", "love", "dove",
+    "gaze", "blaze", "freeze", "squeeze", "breeze", "seize", "organize",
+    "realize", "recognize", "analyze", "optimize", "minimize", "maximize",
+    "summarize", "initialize", "normalize", "serialize", "tokenize",
+    "customize", "utilize", "memorize", "authorize", "categorize",
+    "prioritize", "stabilize", "visualize", "synchronize", "standardize",
+    "generalize", "specialize", "capitalize", "centralize", "finalize",
+    "validate", "operate", "generate", "iterate", "integrate", "migrate",
+    "separate", "evaluate", "estimate", "calculate", "simulate",
+    "accumulate", "populate", "translate", "relate", "locate", "allocate",
+    "indicate", "duplicate", "replicate", "communicate", "complicate",
+    "navigate", "aggregate", "delegate", "investigate", "mitigate",
+    "propagate", "negotiate", "initiate", "associate", "appreciate",
+    "terminate", "eliminate", "dominate", "coordinate", "originate",
+    "designate", "participate", "anticipate", "concentrate", "demonstrate",
+    "illustrate", "orchestrate", "celebrate", "collaborate", "decorate",
+    "incorporate", "accelerate", "tolerate", "moderate", "enumerate",
+    "configure", "assemble", "resemble", "double", "trouble",
+    "little", "middle", "title", "battle", "bottle", "subtle", "article",
+    "particle", "vehicle", "obstacle", "miracle", "muscle", "puzzle",
+    "large", "huge", "edge", "judge", "bridge", "knowledge", "badge",
+    "dodge", "pledge", "hedge", "wedge", "urge", "surge", "purge", "forge",
+    "verge", "emerge", "submerge", "converge", "diverge")
+
+  private def isVowel(c: Char): Boolean =
+    c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
+
+  private def allLetters(w: String): Boolean = {
+    var i = 0
+    while (i < w.length) { if (w.charAt(i) < 'a' || w.charAt(i) > 'z') return false; i += 1 }
+    true
+  }
+
+  private def hasVowel(w: String): Boolean = w.exists(isVowel)
+
+  /** Word ends in a doubled consonant that undoubling may restore
+   * ("stopped" → stopp → stop). Krovetz never undoubles -ll/-ss/-zz
+   * ("falling" → fall, "passing" → pass). */
+  private def doubledConsonant(w: String): Boolean = {
+    val n = w.length
+    n >= 2 && w.charAt(n - 1) == w.charAt(n - 2) && !isVowel(w.charAt(n - 1)) &&
+      w.charAt(n - 1) != 'l' && w.charAt(n - 1) != 's' && w.charAt(n - 1) != 'z'
+  }
+
+  private def inLex(w: String): Boolean = Lexicon.contains(w)
+
+  /** Stem one lowercase token. Non-alphabetic or short tokens pass through
+   * unchanged, as do lexicon head words (the paper's "check the lexicon
+   * first" step). */
+  def stem(word: String): String = {
+    if (word.length < 3 || !allLetters(word)) return word
+    Exceptions.get(word) match {
+      case Some(irregular) => return irregular
+      case None            =>
+    }
+    if (inLex(word)) return word
+
+    // -- plural (paper step 1) --
+    if (word.endsWith("ies") && word.length > 4)
+      return word.substring(0, word.length - 3) + "y"           // cities → city
+    if (word.endsWith("es") && word.length > 3 && !word.endsWith("sses")) {
+      val keepE = word.substring(0, word.length - 1)            // merges → merge
+      // e inserted after sibilant for pronunciation → drop "es" entirely,
+      // unless the lexicon knows the e-final form
+      if (inLex(keepE)) return stemPast(keepE)
+      if (word.endsWith("ches") || word.endsWith("shes") ||
+          word.endsWith("xes") || word.endsWith("zes") || word.endsWith("sses"))
+        return word.substring(0, word.length - 2)               // churches → church
+      return keepE                                              // rule fallback: keep -e
+    }
+    if (word.endsWith("sses"))
+      return word.substring(0, word.length - 2)                 // classes → class
+    if (word.endsWith("s") && !word.endsWith("ss") && !word.endsWith("us") &&
+        !word.endsWith("is") && word.length > 3)
+      return stemPast(word.substring(0, word.length - 1))       // tables → table
+
+    stemPast(word)
+  }
+
+  /** Past-tense and present-participle steps (paper steps 2-3), applied
+   * after plural removal (covers "merged", "merging", "merges"). */
+  private def stemPast(word: String): String = {
+    if (word.length < 4 || inLex(word)) return word
+
+    if (word.endsWith("ied") && word.length > 4)
+      return word.substring(0, word.length - 3) + "y"           // tried → try
+    if (word.endsWith("ed") && word.length >= 4) {
+      val base = word.substring(0, word.length - 2)
+      if (!hasVowel(base)) return word
+      if (doubledConsonant(base)) return base.substring(0, base.length - 1) // stopped → stop
+      if (inLex(base + "e")) return base + "e"                  // used → use
+      return base                                               // walked → walk
+    }
+    if (word.endsWith("ing") && word.length >= 5) {
+      val base = word.substring(0, word.length - 3)
+      if (!hasVowel(base)) return word
+      if (doubledConsonant(base)) return base.substring(0, base.length - 1) // running → run
+      if (inLex(base + "e")) return base + "e"                  // filing → file
+      return base                                               // walking → walk
+    }
+    word
+  }
+}

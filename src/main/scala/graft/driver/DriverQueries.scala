@@ -1565,6 +1565,23 @@ object DriverQueries {
        |  FROM documents d CROSS JOIN (VALUES $qidValues) AS q(qid)
        |  WHERE (d.doc_id + q.qid * 7) % 5 = 0)""".stripMargin
 
+  /** KStem golden pairs (plural / past / participle / irregular /
+   * protected / pass-through), expected values from the Krovetz rules +
+   * subset lexicon. */
+  private val kstemGolden: Seq[(String, String)] = Seq(
+    "cities" -> "city", "tables" -> "table", "churches" -> "church",
+    "boxes" -> "box", "classes" -> "class", "merges" -> "merge",
+    "uses" -> "use", "species" -> "species", "series" -> "series",
+    "status" -> "status", "tried" -> "try", "stopped" -> "stop",
+    "used" -> "use", "walked" -> "walk", "merged" -> "merge",
+    "agreed" -> "agree", "passed" -> "pass", "running" -> "run",
+    "filing" -> "file", "walking" -> "walk", "using" -> "use",
+    "falling" -> "fall", "writing" -> "write", "thing" -> "thing",
+    "during" -> "during", "string" -> "string", "children" -> "child",
+    "men" -> "man", "feet" -> "foot", "indices" -> "index",
+    "wrote" -> "write", "taken" -> "take", "thought" -> "think",
+    "known" -> "know", "spark" -> "spark", "hundred" -> "hundred")
+
   /** Topics over the natural document fields: content words plus `source` /
    * `lang` metadata values (src0..src19, en/es/de/zh…). */
   val fieldTopics: Seq[Topic] = Seq(
@@ -1625,6 +1642,82 @@ object DriverQueries {
         |  round(CASE WHEN rq.rq IS NULL OR rq.rq = 0 THEN 0.0
         |             ELSE COALESCE(up.up, 0.0) / rq.rq END, 6) AS statap
         |FROM qq LEFT JOIN up ON qq.qid = up.qid LEFT JOIN rq ON qq.qid = rq.qid""".stripMargin)),
+
+    // G2 — KStem golden pairs (the reference's DEFAULT index tag,
+    // Analyzers.java:95-101): published Krovetz rules + documented subset
+    // lexicon (analysis/KStem.scala), driven through the full analyze chain.
+    Spec("g2_kstem_golden",
+      (s, d) => {
+        import s.implicits._
+        kstemGolden.map(_._1).toDF("word")
+          .as[String]
+          .map(w => (w, Analyzer.analyzeQuery(w, Analyzer.Tag.KStem).mkString(" ")))
+          .toDF("word", "stem")
+      },
+      Some {
+        val rows = kstemGolden.map { case (w, st) => s"('$w', '$st')" }.mkString(", ")
+        s"SELECT word, stem FROM (VALUES $rows) AS v(word, stem)"
+      }),
+
+    // LS1 — LearningToSelect end-to-end (LearningToSelect.java:1-440):
+    // KL features between the base model's and each candidate's sweep runs
+    // (Lee-normalized over the top-K intersection), leave-one-out KNN (k=3)
+    // per candidate, chosen model = best mean-of-neighbors AP.
+    Spec("ls1_learn_select",
+      (s, d) => {
+        val baseName = Scoring.BM25c(0.9, 0.4).name
+        val runs = graft.train.ParamTrain.sweepRuns(
+          termDocs(s, d), dict(s, d), corpusStats(s, d), topics, gridModels,
+          topK = K, roundedDouble = Some(4))
+        val feats = graft.train.LearnToSelect.klFeatures(runs, baseName, n = K)
+        graft.train.LearnToSelect.select(feats,
+          sweepPq(s, d).select("model", "qid", "ap"), "ap", k = 3)
+      },
+      Some {
+        val baseName = Scoring.BM25c(0.9, 0.4).name
+        s"""WITH $CTES,
+          |$sweepPqSql,
+          |lsrun AS (SELECT * FROM (
+          |    SELECT model, qid, 'doc-' || CAST(doc_id AS VARCHAR) || '#0' AS docid, score,
+          |      CAST(row_number() OVER (PARTITION BY model, qid
+          |        ORDER BY score DESC, ('doc-' || CAST(doc_id AS VARCHAR) || '#0') ASC) AS INT) AS rank
+          |    FROM scored) WHERE rank <= $K),
+          |lsbase AS (SELECT qid, docid, score AS bs FROM lsrun WHERE model = '$baseName'),
+          |lscand AS (SELECT model, qid, docid, score AS cs FROM lsrun WHERE model <> '$baseName'),
+          |lsinter AS (SELECT c.model AS model, c.qid AS qid, c.cs AS cs, b.bs AS bs
+          |            FROM lscand c JOIN lsbase b ON c.qid = b.qid AND c.docid = b.docid),
+          |lsst AS (SELECT model, qid, count(*) AS cnt,
+          |           min(bs) AS bmn, max(bs) AS bmx, min(cs) AS cmn, max(cs) AS cmx
+          |         FROM lsinter GROUP BY model, qid),
+          |lsnrm AS (SELECT i.model AS model, i.qid AS qid,
+          |    CASE WHEN s.cnt = 1 THEN 1.0 + 0.01 WHEN s.bmn = s.bmx THEN 0.01
+          |         ELSE (i.bs - s.bmn) / (s.bmx - s.bmn) + 0.01 END AS rb,
+          |    CASE WHEN s.cnt = 1 THEN 1.0 + 0.01 WHEN s.cmn = s.cmx THEN 0.01
+          |         ELSE (i.cs - s.cmn) / (s.cmx - s.cmn) + 0.01 END AS rc
+          |  FROM lsinter i JOIN lsst s ON i.model = s.model AND i.qid = s.qid),
+          |lsfeat0 AS (SELECT model, qid,
+          |    round(sum(rb * (ln(rb / rc) / ln(2.0))) / count(*), 6) AS kl
+          |  FROM lsnrm GROUP BY model, qid),
+          |lsdom AS (SELECT DISTINCT model, qid FROM lscand),
+          |lsfeat AS (SELECT d.model AS model, d.qid AS qid,
+          |    COALESCE(f.kl, 1000000000.0) AS kl
+          |  FROM lsdom d LEFT JOIN lsfeat0 f ON d.model = f.model AND d.qid = f.qid),
+          |lspairs AS (SELECT t.model AS model, t.qid AS qid, o.qid AS nqid,
+          |    abs(t.kl - o.kl) AS dist
+          |  FROM lsfeat t JOIN lsfeat o ON t.model = o.model AND t.qid <> o.qid),
+          |lsneigh AS (SELECT * FROM (SELECT model, qid, nqid,
+          |    row_number() OVER (PARTITION BY model, qid ORDER BY dist ASC, nqid ASC) AS nrank
+          |  FROM lspairs) WHERE nrank <= 3),
+          |lspred AS (SELECT n.model AS model, n.qid AS qid, round(avg(p.ap), 6) AS pred
+          |  FROM lsneigh n JOIN pq p ON n.model = p.model AND n.nqid = p.qid
+          |  GROUP BY n.model, n.qid),
+          |lschosen AS (SELECT * FROM (SELECT model, qid, pred,
+          |    row_number() OVER (PARTITION BY qid ORDER BY pred DESC, model ASC) AS rn
+          |  FROM lspred) WHERE rn = 1)
+          |SELECT c.qid AS qid, c.model AS model_pred, c.pred AS pred,
+          |  COALESCE(p.ap, 0.0) AS actual
+          |FROM lschosen c LEFT JOIN pq p ON c.model = p.model AND c.qid = p.qid""".stripMargin
+      }),
 
     // R3b — fielded DisMax over the documents' NATURAL fields (VERDICT round-2
     // "What's missing" #3; reference field mode `Indexer.java:413-512`):

@@ -145,6 +145,25 @@ class EngineSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
   }
 
+  test("BMW ≡ exact under the KStem tag (fresh kstem index)") {
+    val tag = Analyzer.Tag.KStem
+    val dir = Files.createTempDirectory("graft-idx-kstem").toString
+    IndexBuild.build(turns, dir, tag, docsPerShard = 100)
+    val idx = IndexBuild.load(spark, dir)
+    val stemTopics = topics :+ Topic(7, "needles running")
+    val got = BlockMaxWand.search(idx, stemTopics, model, K, tag, sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    val td = Tokenize.termDocs(turns, tag)
+    val want = Exact.search(td, Dictionary.termStats(td),
+        Tokenize.corpusStats(Tokenize.docs(turns, tag)), stemTopics, model, K, tag,
+        sentinelDocId = Some(SENT))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
   test("BMW refuses non-monotone models (block bounds would be unsound)") {
     Seq(Scoring.DPH, Scoring.DLH13, Scoring.DFRee, Scoring.PL2c()).foreach { m =>
       assert(!m.ubSafe)
