@@ -46,7 +46,21 @@ object Analyzer {
      * `cmdline/IndexerTool.java:42-43`); the stemmer is [[KStem]] — the
      * published Krovetz rules over a documented subset lexicon. */
     case object KStem extends Tag { val name = "KStem" }
-    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball, KStem)
+    /** Reference Latin chain (`Analyzers.java:126-133`): keep only
+     * Latin-script tokens → lowercase → kstem (no possessive filter in the
+     * reference chain). Script determined from the token's first letter
+     * (our word-break never joins scripts across these ranges). */
+    case object Latin extends Tag { val name = "Latin" }
+    /** Reference ASCII chain (`Analyzers.java:135-142`): keep only
+     * Basic-Latin (all code points < 0x80) tokens → lowercase → kstem. */
+    case object ASCII extends Tag { val name = "ASCII" }
+    /** Reference UAX chain (`Analyzers.java:192-212`): uax29urlemail
+     * tokenizer → lowercase — URLs and e-mail addresses survive as single
+     * tokens; everything else word-breaks as [[NoStem]]. Re-implemented
+     * with explicit URL/email span detection (documented approximation of
+     * the UAX#29 URL/EMAIL productions). */
+    case object UAX extends Tag { val name = "UAX" }
+    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball, KStem, Latin, ASCII, UAX)
     def of(name: String): Tag = all.find(_.name.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown analyzer tag: $name"))
   }
@@ -144,7 +158,47 @@ object Analyzer {
         base.result().map(t => Porter2.stem(stripPossessive(t))).filter(_.nonEmpty)
       case Tag.KStem =>
         base.result().map(t => KStem.stem(stripPossessive(t))).filter(_.nonEmpty)
+      case Tag.Latin =>
+        base.result().filter(isLatinToken).map(KStem.stem).filter(_.nonEmpty)
+      case Tag.ASCII =>
+        base.result().filter(_.forall(_ < 0x80)).map(KStem.stem).filter(_.nonEmpty)
+      case Tag.UAX =>
+        uaxTokenize(text)
     }
+  }
+
+  /** First-letter script is Latin (reference `ScriptAsTypeTokenFilter` +
+   * whitelist "Latin", `Analyzers.java:126-133`). */
+  private def isLatinToken(token: String): Boolean =
+    token.nonEmpty &&
+      Character.UnicodeScript.of(token.codePointAt(0)) == Character.UnicodeScript.LATIN
+
+  /** URL / e-mail span patterns — a documented approximation of Lucene's
+   * UAX29URLEmailTokenizer URL/EMAIL productions: scheme-led URLs and
+   * RFC-ish e-mail addresses survive as single (lowercased) tokens, with
+   * trailing sentence punctuation shed. */
+  private val UrlOrEmail = java.util.regex.Pattern.compile(
+    """(?:(?:https?|ftp)://[^\s<>"]+|[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})""")
+
+  /** UAX chain: URL/email spans verbatim (lowercased), standard word-break
+   * + lowercase between them. */
+  def uaxTokenize(text: String): Seq[String] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val m = UrlOrEmail.matcher(text)
+    var last = 0
+    def plain(seg: String): Unit =
+      foreachTokenRange(seg)((s, e) => out += lowercased(seg, s, e))
+    while (m.find()) {
+      plain(text.substring(last, m.start()))
+      // shed trailing sentence punctuation the regex over-captures
+      var tok = m.group()
+      while (tok.nonEmpty && ".,;:!?)".indexOf(tok.last.toInt) >= 0) tok = tok.init
+      if (tok.nonEmpty) out += tok.toLowerCase(Locale.ROOT)
+      last = m.start() + m.group().length
+    }
+    plain(text.substring(last))
+    out.result()
   }
 
   /** The reference's script-partitioned fields (T4, `Indexer.java:113-119`):

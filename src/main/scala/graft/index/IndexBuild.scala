@@ -263,13 +263,29 @@ object IndexBuild {
     Index(docs, dict, spark.read.parquet(postingsDir).as[PostingBlock], stats)
   }
 
+  /** Current dictionary location: a streaming-appended index carries a
+   * `_dict_version` marker naming the latest immutable snapshot under
+   * `dicts/v=N` (see [[graft.streaming.Streams.appendBatch]]); a pure
+   * batch build uses the flat `dict/` stage dir. */
+  def dictPath(spark: SparkSession, indexDir: String): String = {
+    val marker = new Path(s"$indexDir/_dict_version")
+    val f = fs(spark, indexDir)
+    if (!f.exists(marker)) s"$indexDir/dict"
+    else {
+      val in = f.open(marker)
+      val b = new java.io.ByteArrayOutputStream()
+      try { var c = in.read(); while (c >= 0) { b.write(c); c = in.read() } } finally in.close()
+      s"$indexDir/dicts/v=${b.toString("UTF-8").trim.toLong}"
+    }
+  }
+
   def load(spark: SparkSession, indexDir: String): Index = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$indexDir/docs")
     val statsRow = docs.agg(count(lit(1)), coalesce(sum("docLen"), lit(0L))).head()
     Index(
       docs,
-      spark.read.parquet(s"$indexDir/dict"),
+      spark.read.parquet(dictPath(spark, indexDir)),
       spark.read.parquet(s"$indexDir/postings").as[PostingBlock],
       CorpusStats(statsRow.getLong(0), statsRow.getLong(1)))
   }

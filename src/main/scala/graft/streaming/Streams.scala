@@ -272,10 +272,8 @@ object Streams {
       val newVer = baseVer + 1
       Dictionary.withIds(merged)
         .write.mode("overwrite").parquet(s"$indexDir/dicts/v=$newVer")
-      // flat mirror for IndexBuild.load (O(vocabulary) copy, deterministic
-      // from the immutable snapshot — replay-safe)
-      spark.read.parquet(s"$indexDir/dicts/v=$newVer")
-        .write.mode("overwrite").parquet(dictDir)
+      // readers resolve the current snapshot via the _dict_version marker
+      // (IndexBuild.load); no flat-dir mirror job per batch
       writeMarker(spark, indexDir, DICT_VERSION, newVer.toString)
       // snapshots older than the replay base can never be read again
       if (baseVer > 1) {

@@ -60,6 +60,24 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.analyzeQuery("the the the") == Seq("the", "the", "the"))
   }
 
+  test("Latin tag keeps Latin-script tokens only, kstems (Analyzers.java:126-133)") {
+    assert(Analyzer.analyze("Tables мир 漢字 running", Analyzer.Tag.Latin)
+      == Seq("table", "run"))
+  }
+
+  test("ASCII tag keeps Basic-Latin tokens only (Analyzers.java:135-142)") {
+    assert(Analyzer.analyze("naïve files café test", Analyzer.Tag.ASCII)
+      == Seq("file", "test"))
+  }
+
+  test("UAX tag preserves URLs and emails as single tokens (Analyzers.java:192-212)") {
+    assert(Analyzer.analyze("See https://Example.com/a?b=1, or mail Bob@Mail.org.",
+        Analyzer.Tag.UAX)
+      == Seq("see", "https://example.com/a?b=1", "or", "mail", "bob@mail.org"))
+    assert(Analyzer.analyze("plain words only", Analyzer.Tag.UAX)
+      == Seq("plain", "words", "only"))
+  }
+
   test("scriptOf edge cases (T4, Indexer.java:113-119)") {
     assert(Analyzer.scriptOf("hello") == "ascii")
     assert(Analyzer.scriptOf("héllo") == "other")  // Latin but not Basic-Latin

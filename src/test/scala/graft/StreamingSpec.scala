@@ -121,7 +121,7 @@ class StreamingSpec extends AnyFunSuite {
     val b = Transcripts.generate(spark, 5, 2, seed = 32L, partitions = 1)
       .withColumn("conv_id", concat(lit("zz-"), col("conv_id"))).as[Turn]
     Streams.appendBatch(b, dir, docsPerShard = 32)
-    val row = spark.read.parquet(s"$dir/dict")
+    val row = IndexBuild.load(spark, dir).dict
       .filter(col("term") === "zz_tampered").collect()
     assert(row.length == 1 && row.head.getAs[Long]("df") == 7L,
       "incremental dict merge must build on the previous snapshot")
