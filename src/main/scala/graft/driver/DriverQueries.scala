@@ -1643,6 +1643,51 @@ object DriverQueries {
         |             ELSE COALESCE(up.up, 0.0) / rq.rq END, 6) AS statap
         |FROM qq LEFT JOIN up ON qq.qid = up.qid LEFT JOIN rq ON qq.qid = rq.qid""".stripMargin)),
 
+    // A4b — LengthNormalized distribution under Round2 binning
+    // (freq/Round2Binning.java:8-24): bin = round(tf/dl, 2)·100, half-up.
+    Spec("a4b_round2_histogram",
+      (s, d) => Histograms.roundBinned(termDocs(s, d), histTerms, digits = 2)
+        .orderBy("term", "bin"),
+      Some(s"""WITH $CTES
+        |SELECT tf.term AS term,
+        |  CAST(round(CAST(tf.tf AS DOUBLE) / dl.dl * 100, 0) AS INT) AS bin,
+        |  count(*) AS cnt
+        |FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |WHERE tf.term IN ${sqlTermList(histTerms)}
+        |GROUP BY tf.term, bin""".stripMargin)),
+
+    // RB1 — Rule-Based model selection (eval/RBEvaluator.scoreRuleBased:
+    // 40-57): 1-word → RawTF; any cf/N > e → DFIC; 2-word → df-ratio < 2 →
+    // LogTFNv0L0 else DPH; else DFIC. e = 0.5 (half an occurrence expected
+    // in an average doc).
+    Spec("rb1_rule_based",
+      (s, d) => {
+        val st = corpusStats(s, d)
+        Exact.qtermStats(s, topics, dict(s, d), Analyzer.Tag.NoStem)
+          .groupBy("qid")
+          .agg(first("qLen").as("qlen"), max("cf").as("maxcf"),
+            max("df").as("maxdf"), min("df").as("mindf"))
+          .select(col("qid"),
+            when(col("qlen") === 1, "RawTF")
+              .when(col("maxcf").cast("double") / lit(st.numDocs.toDouble) > 0.5, "DFIC")
+              .when(col("qlen") === 2,
+                when(col("maxdf").cast("double") / col("mindf") < 2.0, "LogTFNv0L0")
+                  .otherwise("DPH"))
+              .otherwise("DFIC").as("model"))
+      },
+      Some(s"""WITH $CTES,
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |qstat AS (SELECT qv.qid AS qid, sum(qv.mult) AS qlen,
+        |    max(dict.cf) AS maxcf, max(dict.df) AS maxdf, min(dict.df) AS mindf
+        |  FROM qv JOIN dict ON qv.term = dict.term GROUP BY qv.qid)
+        |SELECT qid,
+        |  CASE WHEN qlen = 1 THEN 'RawTF'
+        |       WHEN CAST(maxcf AS DOUBLE) / (SELECT n FROM st) > 0.5 THEN 'DFIC'
+        |       WHEN qlen = 2 THEN
+        |         CASE WHEN CAST(maxdf AS DOUBLE) / mindf < 2.0 THEN 'LogTFNv0L0' ELSE 'DPH' END
+        |       ELSE 'DFIC' END AS model
+        |FROM qstat""".stripMargin)),
+
     // G2 — KStem golden pairs (the reference's DEFAULT index tag,
     // Analyzers.java:95-101): published Krovetz rules + documented subset
     // lexicon (analysis/KStem.scala), driven through the full analyze chain.

@@ -31,6 +31,22 @@ object Histograms {
       .withColumn("bin", binCol(col("tf").cast("double") / col("docLen").cast("double"), bins))
       .groupBy("term", "bin").agg(count(lit(1)).as("cnt"))
 
+  /** Round-digits binning (`freq/Round2Binning.java:8-24`,
+   * `Round3Binning.java`): bin = relative frequency rounded HALF-UP to
+   * `digits` decimals, scaled to an int (0.567 → "0.57" → 57; 1.0 →
+   * 10^digits). Both Spark's `round` and DuckDB's `round` are half-up for
+   * positive doubles, so the rule mirrors exactly. */
+  def roundBinCol(pct: Column, digits: Int): Column =
+    round(pct * math.pow(10, digits).toInt, 0).cast("int")
+
+  /** A4-variant — LengthNormalized pct under round-digits binning
+   * (the reference pairs `QueryFreqDistribution`/`TermFreqDistribution`
+   * with any `BinningStrategy`). */
+  def roundBinned(termDocs: DataFrame, terms: Seq[String], digits: Int): DataFrame =
+    termDocs.filter(col("term").isin(terms: _*))
+      .withColumn("bin", roundBinCol(col("tf").cast("double") / col("docLen").cast("double"), digits))
+      .groupBy("term", "bin").agg(count(lit(1)).as("cnt"))
+
   /** Standard normal CDF via commons-math3 (the exact library the reference
    * uses, `freq/Phi.java:18,75`) — ships in /opt/spark/jars. One
    * distribution instance per executor, not per row. */

@@ -123,6 +123,30 @@ object Selection {
     }
   }
 
+  /**
+   * Rule-Based (RB) model selection (`eval/RBEvaluator.scoreRuleBased`,
+   * `RBEvaluator.java:40-57`), over per-query term statistics:
+   *
+   *  1. single-word query → RawTF
+   *  2. any term's expected tf under avg doc length (cf/N,
+   *     `QuerySelector.expectedUnderDBar:232-241`) > e → DFIC
+   *  3. two-word query → df discriminative ratio max/min
+   *     (`QuerySelector.termRatio:243-270`) < 2 → LogTFNv0L0, else DPH
+   *  4. otherwise → DFIC
+   *
+   * @param queryLen the query WORD count (incl. duplicate words —
+   *   `InfoNeed.wordCount`), not the distinct-term count
+   */
+  def ruleBasedModel(queryLen: Int, cfs: Seq[Long], dfs: Seq[Long],
+                     numDocs: Double, e: Double): String = {
+    require(cfs.nonEmpty && dfs.nonEmpty, "need per-term stats")
+    if (queryLen == 1) "RawTF"
+    else if (cfs.exists(_.toDouble / numDocs > e)) "DFIC"
+    else if (queryLen == 2) {
+      if (dfs.max.toDouble / dfs.min < 2.0) "LogTFNv0L0" else "DPH"
+    } else "DFIC"
+  }
+
   /** J7 — majority vote of per-neighbor best models
    * (`knn/MajorityVoter`): most frequent label, ties → lexicographically
    * smallest. */

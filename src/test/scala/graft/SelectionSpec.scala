@@ -111,4 +111,18 @@ class SelectionSpec extends AnyFunSuite {
     assert(predictTag("DFOrder", ns, sb, NS, SB) == SB)
     assert(predictTag("KendallTauDFOrder", ns, sb, NS, SB) == SB)
   }
+
+  test("rule-based model selection (RBEvaluator.scoreRuleBased:40-57)") {
+    import Selection.ruleBasedModel
+    // 1-word query
+    assert(ruleBasedModel(1, Seq(5L), Seq(5L), 100.0, 0.5) == "RawTF")
+    // hot term: cf/N = 80/100 > 0.5
+    assert(ruleBasedModel(3, Seq(80L, 2L), Seq(10L, 2L), 100.0, 0.5) == "DFIC")
+    // 2-word, df ratio 3/2 < 2
+    assert(ruleBasedModel(2, Seq(3L, 2L), Seq(3L, 2L), 100.0, 0.5) == "LogTFNv0L0")
+    // 2-word, df ratio 8/2 ≥ 2
+    assert(ruleBasedModel(2, Seq(8L, 2L), Seq(8L, 2L), 100.0, 0.5) == "DPH")
+    // ≥3-word fallback
+    assert(ruleBasedModel(4, Seq(3L, 2L, 1L), Seq(3L, 2L, 1L), 100.0, 0.5) == "DFIC")
+  }
 }
