@@ -1047,15 +1047,28 @@ object DriverQueries {
       |  round(CASE WHEN idcg.idcgatk IS NULL OR idcg.idcgatk = 0 THEN 0.0 ELSE dcgatk / idcg.idcgatk END, 6) AS ndcg10
       |FROM agg LEFT JOIN nr ON agg.qid = nr.qid LEFT JOIN idcg ON agg.qid = idcg.qid)""".stripMargin
 
-  /** Rounded per-(model, qid) sweep metrics (shared by p1/p2 gate fns). */
-  private def sweepPq(s: SparkSession, d: String): DataFrame = {
-    val runs = graft.train.ParamTrain.sweepRuns(
-      termDocs(s, d), dict(s, d), corpusStats(s, d), topics, gridModels,
-      topK = K, roundedDouble = Some(4))
-    graft.train.ParamTrain.sweepEval(runs, qrelsDf(s, d), k = 10)
-      .select(col("model"), col("qid"),
-        round(col("ap"), 6).as("ap"), round(col("ndcg10"), 6).as("ndcg10"))
-  }
+  /** Grid-sweep ranked runs, computed once per sfDir (p1/p2/ls1 all
+   * consume them — without caching each gate re-scans and re-ranks the
+   * whole sweep). */
+  private def sweepRunsCached(s: SparkSession, d: String): DataFrame =
+    cached("sweepRuns", d) {
+      val df = graft.train.ParamTrain.sweepRuns(
+        termDocs(s, d), dict(s, d), corpusStats(s, d), topics, gridModels,
+        topK = K, roundedDouble = Some(4)).persist()
+      df.count()
+      df
+    }
+
+  /** Rounded per-(model, qid) sweep metrics (shared by p1/p2/ls1 gate fns). */
+  private def sweepPq(s: SparkSession, d: String): DataFrame =
+    cached("sweepPq", d) {
+      val df = graft.train.ParamTrain.sweepEval(sweepRunsCached(s, d), qrelsDf(s, d), k = 10)
+        .select(col("model"), col("qid"),
+          round(col("ap"), 6).as("ap"), round(col("ndcg10"), 6).as("ndcg10"))
+        .persist()
+      df.count()
+      df
+    }
 
   val specs5: Seq[Spec] = Seq(
 
@@ -1711,10 +1724,8 @@ object DriverQueries {
     Spec("ls1_learn_select",
       (s, d) => {
         val baseName = Scoring.BM25c(0.9, 0.4).name
-        val runs = graft.train.ParamTrain.sweepRuns(
-          termDocs(s, d), dict(s, d), corpusStats(s, d), topics, gridModels,
-          topK = K, roundedDouble = Some(4))
-        val feats = graft.train.LearnToSelect.klFeatures(runs, baseName, n = K)
+        val feats = graft.train.LearnToSelect.klFeatures(
+          sweepRunsCached(s, d), baseName, n = K)
         graft.train.LearnToSelect.select(feats,
           sweepPq(s, d).select("model", "qid", "ap"), "ap", k = 3)
       },
