@@ -1656,6 +1656,58 @@ object DriverQueries {
         |             ELSE COALESCE(up.up, 0.0) / rq.rq END, 6) AS statap
         |FROM qq LEFT JOIN up ON qq.qid = up.qid LEFT JOIN rq ON qq.qid = rq.qid""".stripMargin)),
 
+    // GF1 — goodness-of-fit of per-term tf distributions to
+    // Poisson(λ = cf/N) (`exp/GOF.java:57-85`): for tf < 20, observed doc
+    // count (tf = 0 row = N − df), Poisson pmf, expected = round(prob·N),
+    // chi = (obs − exp)²/exp (NULL when expected = 0). Deviation note: the
+    // pmf is the closed form e^{−λ}λ^tf/tf! (exact `factorial` in both
+    // engines) rather than commons-math's saddle-point expansion — they
+    // agree to ~1e-15 at these λ; rows exist only for observed tf values,
+    // where the reference's map lookup is non-null.
+    Spec("gf1_gof_poisson",
+      (s, d) => {
+        val st = corpusStats(s, d)
+        val n = st.numDocs.toDouble
+        val dictF = dict(s, d).filter(col("term").isin(histTerms: _*))
+        val observed = termDocs(s, d)
+          .filter(col("term").isin(histTerms: _*) && col("tf") < 20)
+          .groupBy("term", "tf").agg(count(lit(1)).as("observed"))
+          .unionByName(dictF.select(col("term"), lit(0L).as("tf"),
+            (lit(st.numDocs) - col("df")).as("observed")))
+        val lam = dictF.select(col("term"), (col("cf").cast("double") / lit(n)).as("lambda"))
+        val prob = round(
+          exp(-col("lambda")) * pow(col("lambda"), col("tf").cast("double")) /
+            factorial(col("tf").cast("int")).cast("double"), 6)
+        observed.join(broadcast(lam), "term")
+          .withColumn("prob", prob)
+          .withColumn("expected", floor(col("prob") * lit(n) + lit(0.5)).cast("long"))
+          .withColumn("chi",
+            when(col("expected") === 0, lit(null).cast("double"))
+              .otherwise(round(
+                pow((col("observed") - col("expected")).cast("double"), 2) /
+                  col("expected").cast("double"), 4)))
+          .select("term", "tf", "observed", "prob", "expected", "chi")
+      },
+      Some(s"""WITH $CTES,
+        |obs AS (SELECT term, tf, count(*) AS observed FROM tf
+        |        WHERE term IN ${sqlTermList(histTerms)} AND tf < 20 GROUP BY term, tf
+        |        UNION ALL
+        |        SELECT dict.term AS term, 0 AS tf,
+        |          (SELECT n FROM st) - dict.df AS observed
+        |        FROM dict WHERE dict.term IN ${sqlTermList(histTerms)}),
+        |lam AS (SELECT term, CAST(cf AS DOUBLE) / (SELECT n FROM st) AS lambda
+        |        FROM dict WHERE term IN ${sqlTermList(histTerms)}),
+        |g AS (SELECT obs.term AS term, obs.tf AS tf, obs.observed AS observed,
+        |        round(exp(-lam.lambda) * pow(lam.lambda, CAST(obs.tf AS DOUBLE))
+        |          / CAST(factorial(CAST(obs.tf AS INT)) AS DOUBLE), 6) AS prob
+        |      FROM obs JOIN lam ON obs.term = lam.term),
+        |e AS (SELECT *, CAST(floor(prob * (SELECT n FROM st) + 0.5) AS BIGINT) AS expected FROM g)
+        |SELECT term, tf, observed, prob, expected,
+        |  CASE WHEN expected = 0 THEN NULL
+        |       ELSE round(pow(CAST(observed - expected AS DOUBLE), 2)
+        |         / CAST(expected AS DOUBLE), 4) END AS chi
+        |FROM e""".stripMargin)),
+
     // A4b — LengthNormalized distribution under Round2 binning
     // (freq/Round2Binning.java:8-24): bin = round(tf/dl, 2)·100, half-up.
     Spec("a4b_round2_histogram",
