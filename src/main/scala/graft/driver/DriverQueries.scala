@@ -1656,6 +1656,41 @@ object DriverQueries {
         |             ELSE COALESCE(up.up, 0.0) / rq.rq END, 6) AS statap
         |FROM qq LEFT JOIN up ON qq.qid = up.qid LEFT JOIN rq ON qq.qid = rq.qid""".stripMargin)),
 
+    // QF1 — per-QUERY frequency distribution
+    // (`freq/QueryFreqDistribution.java:42-107`): conjunctive (AND) match
+    // over the query's DISTINCT terms, per-doc relative frequency =
+    // MetaTerm score = Σ_terms tf/dl, LengthNormalized-binned, counted per
+    // (qid, bin). numHits unbounded (the reference passes a top-k; every
+    // match is binned here — documented).
+    Spec("qf1_query_freq",
+      (s, d) => {
+        import s.implicits._
+        val q = Exact.queryTerms(topics, Analyzer.Tag.NoStem)
+          .toDF("qid", "term", "mult", "nTerms")
+        val rf = termDocs(s, d).join(broadcast(q), Seq("term"))
+          .groupBy("qid", "docId")
+          .agg((sum(col("tf")).cast("double") / first("docLen")).as("rf"),
+            count(lit(1)).as("matched"), first("nTerms").as("nTerms"))
+          .filter(col("matched") === col("nTerms"))
+        rf.withColumn("bin", Histograms.binCol(col("rf"), 100))
+          .groupBy("qid", "bin").agg(count(lit(1)).as("cnt"))
+      },
+      Some(s"""WITH $CTES,
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |qn AS (SELECT qid, count(*) AS nterms FROM qv GROUP BY qid),
+        |m AS (SELECT qv.qid AS qid, tf.doc_id AS doc_id,
+        |        CAST(sum(tf.tf) AS DOUBLE) / max(dl.dl) AS rf,
+        |        count(*) AS matched
+        |      FROM qv JOIN tf ON qv.term = tf.term
+        |      JOIN dl ON tf.doc_id = dl.doc_id
+        |      GROUP BY qv.qid, tf.doc_id),
+        |am AS (SELECT m.* FROM m JOIN qn ON m.qid = qn.qid WHERE m.matched = qn.nterms),
+        |b AS (SELECT qid,
+        |        CAST(CASE WHEN floor(rf * 100) = 100 THEN floor(rf * 100)
+        |                  ELSE floor(rf * 100) + 1 END AS INT) AS bin
+        |      FROM am)
+        |SELECT qid, bin, count(*) AS cnt FROM b GROUP BY qid, bin""".stripMargin)),
+
     // GF1 — goodness-of-fit of per-term tf distributions to
     // Poisson(λ = cf/N) (`exp/GOF.java:57-85`): for tf < 20, observed doc
     // count (tf = 0 row = N − df), Poisson pmf, expected = round(prob·N),
