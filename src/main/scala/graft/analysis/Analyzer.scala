@@ -149,6 +149,7 @@ object Analyzer {
 
   /** Full analysis chain for a tag: tokenize → lowercase → (possessive). */
   def analyze(text: String, tag: Tag = Tag.NoStem): Seq[String] = {
+    if (tag == Tag.UAX) return uaxTokenize(text) // its own tokenizer — skip the standard pass
     val base = Vector.newBuilder[String]
     foreachTokenRange(text)((s, e) => base += lowercased(text, s, e))
     tag match {
@@ -163,7 +164,7 @@ object Analyzer {
       case Tag.ASCII =>
         base.result().filter(_.forall(_ < 0x80)).map(KStem.stem).filter(_.nonEmpty)
       case Tag.UAX =>
-        uaxTokenize(text)
+        throw new IllegalStateException("unreachable: UAX handled above")
     }
   }
 

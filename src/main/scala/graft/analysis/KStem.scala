@@ -57,7 +57,7 @@ object KStem {
     "begun" -> "begin", "broke" -> "break", "broken" -> "break",
     "fell" -> "fall", "fallen" -> "fall", "felt" -> "feel", "lost" -> "lose",
     "read" -> "read", "ate" -> "eat", "eaten" -> "eat",
-    "ran" -> "run", "swam" -> "swim", "sang" -> "sing", "sung" -> "sing",
+    "swam" -> "swim", "sang" -> "sing", "sung" -> "sing",
     "rang" -> "ring", "rung" -> "ring", "wore" -> "wear", "worn" -> "wear")
 
   /** Head-word subset: protected words (returned unchanged) and the
@@ -181,7 +181,7 @@ object KStem {
       // unless the lexicon knows the e-final form
       if (inLex(keepE)) return stemPast(keepE)
       if (word.endsWith("ches") || word.endsWith("shes") ||
-          word.endsWith("xes") || word.endsWith("zes") || word.endsWith("sses"))
+          word.endsWith("xes") || word.endsWith("zes"))
         return word.substring(0, word.length - 2)               // churches → church
       return keepE                                              // rule fallback: keep -e
     }

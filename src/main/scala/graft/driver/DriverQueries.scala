@@ -1324,7 +1324,8 @@ object DriverQueries {
         val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Turn]
         val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
         val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
-        val q = graft.streaming.Streams.indexSink(stream.toDS(), dir, docsPerShard = 256)
+        val q = graft.streaming.Streams.indexSink(stream.toDS(), dir, docsPerShard = 256,
+            streamToken = ckpt.hashCode.toHexString)
           .option("checkpointLocation", ckpt).start()
         try {
           val (b1, b2) = turns.splitAt(turns.size / 2)
@@ -1777,9 +1778,11 @@ object DriverQueries {
       },
       Some(s"""WITH $CTES,
         |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
-        |qstat AS (SELECT qv.qid AS qid, sum(qv.mult) AS qlen,
+        |ql AS (SELECT qid, sum(mult) AS qlen FROM qv GROUP BY qid),
+        |qstat AS (SELECT qv.qid AS qid, max(ql.qlen) AS qlen,
         |    max(dict.cf) AS maxcf, max(dict.df) AS maxdf, min(dict.df) AS mindf
-        |  FROM qv JOIN dict ON qv.term = dict.term GROUP BY qv.qid)
+        |  FROM qv JOIN dict ON qv.term = dict.term
+        |  JOIN ql ON qv.qid = ql.qid GROUP BY qv.qid)
         |SELECT qid,
         |  CASE WHEN qlen = 1 THEN 'RawTF'
         |       WHEN CAST(maxcf AS DOUBLE) / (SELECT n FROM st) > 0.5 THEN 'DFIC'

@@ -202,10 +202,18 @@ object IndexBuild {
       // space (multi-wave build, or a resume with committed shards), prune
       // whole INPUT partitions whose docIdNum range misses the wave — a wave
       // then reads ~its share of the input instead of scanning everything
-      // and discarding rows inside mapPartitions. Partition bounds come from
-      // one cheap columnar (pid → min/max docIdNum) job; the numbering's
-      // stability across passes is the same contract DenseIds already
-      // requires (and now fails fast on).
+      // and discarding rows inside mapPartitions.
+      //
+      // CONSISTENCY: the bounds pass runs on the SAME RDD object the wave
+      // jobs prune (`baseRdd`), so any shuffle in the lineage materializes
+      // once and is REUSED by every subsequent job (Spark skips the map
+      // stage of an already-computed ShuffleDependency) — the partitioning
+      // the bounds describe is physically the partitioning the waves read.
+      // A fresh DataFrame aggregate would NOT give that guarantee: the
+      // resume path's repartitionByRange re-samples boundaries per
+      // execution (seeded by rdd.id), and drift between the bounds job and
+      // the wave job would silently prune partitions that still hold
+      // wanted-shard docs.
       val pruneWaves = groups.size > 1 || done.nonEmpty
       lazy val baseDs = {
         import spark.implicits._
@@ -213,9 +221,14 @@ object IndexBuild {
       }
       lazy val baseRdd = baseDs.rdd
       lazy val partBounds: Array[(Int, Long, Long)] =
-        turnsWithId.groupBy(spark_partition_id().as("pid"))
-          .agg(min("docIdNum").as("mn"), max("docIdNum").as("mx"))
-          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        baseRdd.mapPartitionsWithIndex { (pi, it) =>
+          var mn = Long.MaxValue; var mx = Long.MinValue
+          it.foreach { case (num, _) =>
+            if (num < mn) mn = num
+            if (num > mx) mx = num
+          }
+          if (mn == Long.MaxValue) Iterator.empty else Iterator((pi, mn, mx))
+        }.collect()
       groups.zipWithIndex.foreach { case (shardGroup, wave) =>
         val t0 = System.nanoTime()
         val groupSet = shardGroup.toSet
@@ -251,14 +264,18 @@ object IndexBuild {
 
 
     // -- stage 3: dict from block metadata (no corpus pass) --
-    if (!stageDone(spark, dictDir)) {
+    // A streaming-appended index supersedes the flat dict/ with versioned
+    // snapshots (`_dict_version` marker) — never resurrect the stale flat
+    // dir over them; dictPath resolves whichever is current.
+    val hasSnapshots = exists(spark, s"$indexDir/_dict_version")
+    if (!hasSnapshots && !stageDone(spark, dictDir)) {
       val termStats = spark.read.parquet(postingsDir)
         .groupBy("term")
         .agg(sum("n").as("df"), sum("sumTf").as("cf"))
       Dictionary.withIds(termStats)
         .write.mode("overwrite").parquet(dictDir)
     }
-    val dict = spark.read.parquet(dictDir)
+    val dict = spark.read.parquet(dictPath(spark, indexDir))
 
     Index(docs, dict, spark.read.parquet(postingsDir).as[PostingBlock], stats)
   }

@@ -163,9 +163,12 @@ object Streams {
    *  - the dictionary is merged incrementally: old dict snapshot
    *    (`dicts/v=B`, O(vocabulary) — sublinear in corpus size by Heaps'
    *    law) + this batch's block metadata (partition-pruned to the batch's
-   *    own shards), written as the next immutable snapshot `dicts/v=B+1`
-   *    and mirrored to the flat `dict/` dir [[graft.index.IndexBuild.load]]
-   *    reads. NEVER a re-aggregation of the whole postings dir.
+   *    own shards), written as the next immutable snapshot `dicts/v=B+1`;
+   *    readers resolve the current snapshot through the `_dict_version`
+   *    marker ([[graft.index.IndexBuild.dictPath]] — the flat `dict/` dir
+   *    of a batch build is superseded once the marker exists). NEVER a
+   *    re-aggregation of the whole postings dir (except a one-time legacy
+   *    replay, see the sidecar-format note in the code).
    *
    * @param batchId Structured Streaming micro-batch id: with it set, replays
    *   of the same batch (foreachBatch is at-least-once) are IDEMPOTENT —
@@ -202,10 +205,16 @@ object Streams {
     // (start, dict base version) — from the replay sidecar when present,
     // else from the index-level markers (hwm; docs scan only as first-contact
     // fallback), persisted to the sidecar before any write.
+    // baseVer semantics: ≥1 = merge onto that immutable snapshot; 0 = empty
+    // index (delta IS the dict); −1 = legacy sidecar without a recorded
+    // base (written by the pre-snapshot code) — fall back to a FULL
+    // postings re-aggregation for this one replay, which is what the old
+    // code always did and is idempotent regardless of index state. Parsing
+    // a legacy body as base 0 would wipe the pre-existing vocabulary.
     val (start, baseVer) = batchId.flatMap(id =>
         readMarker(spark, indexDir, marker(id, "start")).map { body =>
           val parts = body.trim.split(':')
-          (parts(0).toLong, if (parts.length > 1) parts(1).toLong else 0L)
+          (parts(0).toLong, if (parts.length > 1) parts(1).toLong else -1L)
         })
       .getOrElse {
         val hwm = readMarker(spark, indexDir, HWM).map(_.trim.toLong)
@@ -265,11 +274,14 @@ object Streams {
         .groupBy("term").agg(sum("n").as("df"), sum("sumTf").as("cf"))
       val merged =
         if (baseVer == 0L) delta
+        else if (baseVer < 0L) // legacy replay: full re-agg (old semantics)
+          spark.read.parquet(postingsDir)
+            .groupBy("term").agg(sum("n").as("df"), sum("sumTf").as("cf"))
         else spark.read.parquet(s"$indexDir/dicts/v=$baseVer")
           .select("term", "df", "cf")
           .unionByName(delta)
           .groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
-      val newVer = baseVer + 1
+      val newVer = (if (baseVer < 0L) currentDictVersion(spark, indexDir) else baseVer) + 1
       Dictionary.withIds(merged)
         .write.mode("overwrite").parquet(s"$indexDir/dicts/v=$newVer")
       // readers resolve the current snapshot via the _dict_version marker
@@ -294,16 +306,22 @@ object Streams {
    * [[appendBatch]] per micro-batch, idempotent under foreachBatch's
    * at-least-once replay via the batchId.
    *
-   * @param streamToken namespaces this query's batch sidecars. MUST be
-   *   stable for the lifetime of the query's checkpoint (e.g. derive it
+   * @param streamToken REQUIRED namespace for this query's batch sidecars.
+   *   MUST be stable for the lifetime of the query's checkpoint (derive it
    *   from the checkpoint location) so a restart replays idempotently, and
    *   MUST differ between distinct queries writing the same index (a fresh
    *   checkpoint restarts batch ids at 0 — without a distinct token the new
-   *   query would hit the old one's stale markers and drop batches). */
+   *   query would hit the old one's stale markers and drop batches).
+   *   There is deliberately NO default: a shared default token would
+   *   recreate exactly that collision. Upgrade note: an index whose last
+   *   batch was written by the pre-token marker format should finish or
+   *   discard that in-flight checkpoint before switching — old un-prefixed
+   *   sidecars are invisible under any token, so a replay of that one
+   *   batch would re-append its docs. */
   def indexSink(stream: Dataset[Turn], indexDir: String,
                 tag: Analyzer.Tag = Analyzer.Tag.NoStem,
                 docsPerShard: Long = 1 << 20,
-                streamToken: String = "default"): DataStreamWriter[Turn] =
+                streamToken: String): DataStreamWriter[Turn] =
     stream.writeStream.foreachBatch { (batch: Dataset[Turn], id: Long) =>
       appendBatch(batch, indexDir, tag, docsPerShard, batchId = Some(id),
         runToken = Some(streamToken))

@@ -26,7 +26,7 @@ class StreamingSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-stream-idx-test").toString
     val ckpt = Files.createTempDirectory("graft-stream-ckpt-test").toString
     val stream = MemoryStream[Turn]
-    val q = Streams.indexSink(stream.toDS(), dir, docsPerShard = 64)
+    val q = Streams.indexSink(stream.toDS(), dir, docsPerShard = 64, streamToken = ckpt.hashCode.toHexString)
       .option("checkpointLocation", ckpt).start()
     try {
       val (b1, b2) = local.splitAt(local.size / 3)
@@ -125,6 +125,25 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("term") === "zz_tampered").collect()
     assert(row.length == 1 && row.head.getAs[Long]("df") == 7L,
       "incremental dict merge must build on the previous snapshot")
+  }
+
+  test("legacy start sidecar (no dict base) replays via full re-agg, not a vocabulary wipe") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-legacy-test").toString
+    val a = Transcripts.generate(spark, 10, 2, seed = 61L, partitions = 1)
+    Streams.appendBatch(a, dir, docsPerShard = 32, batchId = Some(0L))
+    val fullVocab = IndexBuild.load(spark, dir).dict.count()
+    // simulate a sidecar written by the pre-snapshot code: plain start, no
+    // ':baseVersion' — and a lost done marker forcing a replay
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_batch_0_start"), true)
+    out.write("0".getBytes("UTF-8")); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_0_done"), false)
+    Streams.appendBatch(a, dir, docsPerShard = 32, batchId = Some(0L))
+    val after = IndexBuild.load(spark, dir).dict.count()
+    assert(after == fullVocab,
+      s"legacy replay must keep the whole vocabulary ($fullVocab), got $after")
   }
 
   test("distinct stream tokens isolate batch markers (fresh checkpoint restarts at id 0)") {
