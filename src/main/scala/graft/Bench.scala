@@ -38,7 +38,17 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // 1. driver-query workload
+    // 1. driver-query workload. The shared corpus derivations (termDocs /
+    // docs / dict caches, the compressed block index) are warmed FIRST and
+    // reported separately — otherwise the alphabetically-first gates absorb
+    // the one-time cache builds and read as 5-10× their real cost.
+    val warmupSec = time {
+      DriverQueries.termDocs(spark, sfDir)
+      DriverQueries.docs(spark, sfDir)
+      DriverQueries.dict(spark, sfDir)
+      DriverQueries.corpusStats(spark, sfDir)
+      DriverQueries.index(spark, sfDir)
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> sec
@@ -68,9 +78,9 @@ object Bench {
     termDocs.unpersist()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum
+    val total = results.map(_._2).filter(_ > 0).sum + warmupSec
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"sf":"$sfDir",""" +
       s""""index_build":{"turns":$benchTurns,"sec":$buildSec,"turns_per_sec":$turnsPerSec},""" +
       s""""bm25_topk_sec":{"exact_p50":${pct(exactLat, 0.5)},"exact_p95":${pct(exactLat, 0.95)},""" +
       s""""bmw_p50":${pct(bmwLat, 0.5)},"bmw_p95":${pct(bmwLat, 0.95)},"k":1000,"topics":${topics.size}},""" +
