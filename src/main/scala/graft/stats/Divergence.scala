@@ -95,4 +95,76 @@ object Divergence {
 
   def sqrtTransform(arr: Array[Double]): Array[Double] = arr.map(math.sqrt)
   def log1pTransform(arr: Array[Double]): Array[Double] = arr.map(x => math.log(x + 1))
+
+  // ---- TFDAwareNeed query-level vector derivations ----
+  // (`knn/TFDAwareNeed.java:168-335`): a query's per-term histograms
+  // collapse into one vector per decoration; the KNN similarity family
+  // (ADF / GeoDF / DFGeo …) compares these.
+
+  /** Sum of a histogram's bins — the reference's `df(R)`
+   * (`TFDAwareNeed.java:216-227`). */
+  def dfSum(a: Array[Double]): Double = a.sum
+
+  /** Element-wise mean over the query's term histograms
+   * (`TFDAwareNeed.average:168-185`). */
+  def average(list: Seq[Array[Double]]): Array[Double] = {
+    require(list.nonEmpty && list.forall(_.length == list.head.length))
+    if (list.size == 1) return list.head.clone()
+    val out = new Array[Double](list.head.length)
+    list.foreach(a => { var i = 0; while (i < out.length) { out(i) += a(i); i += 1 } })
+    out.map(_ / list.size)
+  }
+
+  /** Element-wise geometric mean (`TFDAwareNeed.geo:293-313`). */
+  def geo(list: Seq[Array[Double]]): Array[Double] = {
+    require(list.nonEmpty && list.forall(_.length == list.head.length))
+    if (list.size == 1) return list.head.clone()
+    Array.tabulate(list.head.length) { i =>
+      math.pow(list.map(_(i)).product, 1.0 / list.size)
+    }
+  }
+
+  /** Average first, then normalize by the average's total — the ADF
+   * similarity's input (`TFDAwareNeed.averageAndDF:263-275`). */
+  def averageAndDf(list: Seq[Array[Double]]): Array[Double] = {
+    val avg = average(list)
+    val df = dfSum(avg)
+    avg.map(_ / df)
+  }
+
+  /** Normalize each term by its own df first, then average
+   * (`TFDAwareNeed.dfAndAverage:187-206`). */
+  def dfAndAverage(list: Seq[Array[Double]]): Array[Double] = {
+    require(list.nonEmpty && list.forall(_.length == list.head.length))
+    val out = new Array[Double](list.head.length)
+    list.foreach { a =>
+      val df = dfSum(a)
+      var i = 0; while (i < out.length) { out(i) += a(i) / df; i += 1 }
+    }
+    out.map(_ / list.size)
+  }
+
+  /** Geometric mean, then normalize by its total
+   * (`TFDAwareNeed.geoAndDF:277-291`). */
+  def geoAndDf(list: Seq[Array[Double]]): Array[Double] = {
+    val g = geo(list)
+    val df = dfSum(g)
+    g.map(_ / df)
+  }
+
+  /** Normalize each term by its own df first, then geometric mean
+   * (`TFDAwareNeed.dfAndGeo:208-214`). */
+  def dfAndGeo(list: Seq[Array[Double]]): Array[Double] =
+    geo(list.map(a => { val df = dfSum(a); a.map(_ / df) }))
+
+  /** Ratio-of-cdf decoration: forwardCdf[i]/forwardCdf[i−1], length−1
+   * (`Decorator.ratio:124-137` — note the FORWARD cumulative sum, unlike
+   * [[cdf]] above which is the tail-cumulative decoration). */
+  def ratioOfCdf(arr: Array[Double]): Array[Double] = {
+    val c = new Array[Double](arr.length)
+    var acc = 0.0
+    var i = 0
+    while (i < arr.length) { acc += arr(i); c(i) = acc; i += 1 }
+    Array.tabulate(c.length - 1)(i => c(i + 1) / c(i))
+  }
 }

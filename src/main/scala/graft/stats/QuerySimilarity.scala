@@ -86,4 +86,14 @@ object QuerySimilarity {
       val subs = large.combinations(small.size).map(sub => couple(small, sub, div, agg)).toSeq
       way(subs, w)
     }
+
+  /** The derived-vector similarity family (`knn/AverageDFQuerySimilarity`
+   * "ADF", `DFAverageQuerySimilarity`, `DFGeoQuerySimilarity`, …): each
+   * query's term histograms collapse into ONE vector via a
+   * [[Divergence]] derivation (averageAndDf / dfAndAverage / geoAndDf /
+   * dfAndGeo), then a single divergence compares the two vectors. */
+  def derived(r: Seq[Array[Double]], s: Seq[Array[Double]],
+              derive: Seq[Array[Double]] => Array[Double],
+              div: (Array[Double], Array[Double]) => Double): Double =
+    div(derive(r), derive(s))
 }

@@ -43,6 +43,31 @@ class DivergenceSpec extends AnyFunSuite {
     assert(jsSym(r, s) >= 0.0)
   }
 
+  test("TFD query-vector derivations (TFDAwareNeed.java:168-335) hand-check") {
+    val a = Array(2.0, 4.0)
+    val b = Array(8.0, 16.0)
+    assert(dfSum(a) == 6.0)
+    assert(average(Seq(a, b)).toSeq == Seq(5.0, 10.0))
+    // geo: (√(2·8), √(4·16)) = (4, 8)
+    assert(geo(Seq(a, b)).toSeq == Seq(4.0, 8.0))
+    // averageAndDf: avg (5,10), total 15 → (1/3, 2/3)
+    val adf = averageAndDf(Seq(a, b))
+    assert(math.abs(adf(0) - 1.0 / 3) < 1e-12 && math.abs(adf(1) - 2.0 / 3) < 1e-12)
+    // dfAndAverage: a/6 = (1/3, 2/3), b/24 = (1/3, 2/3) → mean (1/3, 2/3)
+    val dfa = dfAndAverage(Seq(a, b))
+    assert(math.abs(dfa(0) - 1.0 / 3) < 1e-12 && math.abs(dfa(1) - 2.0 / 3) < 1e-12)
+    // geoAndDf: geo (4,8), total 12 → (1/3, 2/3)
+    val gdf = geoAndDf(Seq(a, b))
+    assert(math.abs(gdf(0) - 1.0 / 3) < 1e-12 && math.abs(gdf(1) - 2.0 / 3) < 1e-12)
+    // dfAndGeo over proportional vectors = the common proportion
+    val dfg = dfAndGeo(Seq(a, b))
+    assert(math.abs(dfg(0) - 1.0 / 3) < 1e-12 && math.abs(dfg(1) - 2.0 / 3) < 1e-12)
+    // ratioOfCdf of (1,1,2): forward cdf (1,2,4) → (2, 2)
+    assert(ratioOfCdf(Array(1.0, 1.0, 2.0)).toSeq == Seq(2.0, 2.0))
+    // single-term short-circuits return the histogram itself
+    assert(average(Seq(a)).toSeq == a.toSeq && geo(Seq(a)).toSeq == a.toSeq)
+  }
+
   test("decorator transforms (DecoratorTest.java:10-37 semantics)") {
     val a = Array(1.0, 2.0, 3.0)
     assert(insertZerothPosition(a, 9.0).toSeq == Seq(9.0, 1.0, 2.0, 3.0))

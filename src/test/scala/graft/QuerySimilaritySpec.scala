@@ -52,6 +52,16 @@ class QuerySimilaritySpec extends AnyFunSuite {
     assert(cartesian(Seq(v(1), v(4)), Seq(v(0)), d, Ari, WayM) == 2.5)
   }
 
+  test("derived-vector family: ADF compares averageAndDf vectors") {
+    import graft.stats.Divergence
+    val r = Seq(Array(2.0, 4.0), Array(8.0, 16.0))   // both derive to (1/3, 2/3)
+    val s = Seq(Array(1.0, 2.0))
+    val chi = (x: Array[Double], y: Array[Double]) => Divergence.chiPdf(x, y, divide = true)
+    assert(QuerySimilarity.derived(r, s, Divergence.averageAndDf, chi) == 0.0)
+    val t = Seq(Array(4.0, 2.0))                      // derives to (2/3, 1/3)
+    assert(QuerySimilarity.derived(r, t, Divergence.averageAndDf, chi) > 0.0)
+  }
+
   test("integrates with the Divergence kernels (χ² over a real histogram pair)") {
     val a = Array(1.0, 2.0, 3.0)
     val b = Array(1.0, 2.0, 3.0)
