@@ -42,13 +42,16 @@ object Bench {
     // docs / dict caches, the compressed block index) are warmed FIRST and
     // reported separately — otherwise the alphabetically-first gates absorb
     // the one-time cache builds and read as 5-10× their real cost.
-    val warmupSec = time {
+    // failure-isolated like the per-gate loop: a broken sf dir records
+    // warmup −1 and the gates record their own −1s, but the bench still
+    // emits its JSON line (index-build + latency sections are independent)
+    val warmupSec = try time {
       DriverQueries.termDocs(spark, sfDir)
       DriverQueries.docs(spark, sfDir)
       DriverQueries.dict(spark, sfDir)
       DriverQueries.corpusStats(spark, sfDir)
       DriverQueries.index(spark, sfDir)
-    }
+    } catch { case _: Throwable => -1.0 }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(fn(spark, sfDir).count()) catch { case _: Throwable => -1.0 }
       name -> sec
@@ -78,7 +81,7 @@ object Bench {
     termDocs.unpersist()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ > 0).sum + warmupSec
+    val total = results.map(_._2).filter(_ > 0).sum + math.max(warmupSec, 0.0)
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,"sf":"$sfDir",""" +
       s""""index_build":{"turns":$benchTurns,"sec":$buildSec,"turns_per_sec":$turnsPerSec},""" +

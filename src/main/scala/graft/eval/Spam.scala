@@ -49,10 +49,14 @@ object Spam {
     if (threshold == 0) return turns // reference early-return (`:24`)
     val spark = turns.sparkSession
     import spark.implicits._
+    // one percentile per doc (max on duplicate rows — the reference's
+    // keyed Solr lookup cannot multiply; a raw left join against a table
+    // with duplicate docIds would)
+    val perDoc = spamScores.groupBy(col("docId").as("__docId"))
+      .agg(max("percentile").as("percentile"))
     turns.toDF()
-      .withColumn("__docId", concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")))
-      .join(broadcast(spamScores.select(col("docId").as("__docId"), col("percentile"))),
-        Seq("__docId"), "left")
+      .withColumn("__docId", graft.data.Transcripts.docIdCol)
+      .join(broadcast(perDoc), Seq("__docId"), "left")
       .filter(coalesce(col("percentile"), lit(0)) >= threshold)
       .drop("__docId", "percentile")
       .as[Turn]

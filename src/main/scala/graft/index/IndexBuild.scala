@@ -185,13 +185,21 @@ object IndexBuild {
     }
     val docs = spark.read.parquet(docsDir)
 
-    val statsRow = docs.agg(count(lit(1)), coalesce(sum("docLen"), lit(0L))).head()
+    val statsRow = docs.agg(count(lit(1)), coalesce(sum("docLen"), lit(0L)),
+      coalesce(max("docIdNum"), lit(-1L))).head()
     val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
+    val maxDocIdNum = statsRow.getLong(2)
 
     // -- stage 2: postings via fused segment build, shard-granular resume --
-    val numShards = math.max(1, ((stats.numDocs + docsPerShard - 1) / docsPerShard).toInt)
+    // Shard space from BOTH the doc count and the max id: the build's own
+    // numbering is dense (maxId + 1 == numDocs), but a streaming-appended
+    // index aligns each batch to a shard boundary, leaving id gaps — a
+    // count-only bound would never repair its upper shards.
+    val numShards = math.max(1,
+      ((math.max(stats.numDocs, maxDocIdNum + 1) + docsPerShard - 1) / docsPerShard).toInt)
     val done = completedShards(spark, postingsDir)
     val todo = (0 until numShards).filterNot(done)
+    val repairedShards = todo.nonEmpty // consumed by the dict stage below
 
     if (todo.nonEmpty) {
       val groups = {
@@ -266,9 +274,22 @@ object IndexBuild {
     // -- stage 3: dict from block metadata (no corpus pass) --
     // A streaming-appended index supersedes the flat dict/ with versioned
     // snapshots (`_dict_version` marker) — never resurrect the stale flat
-    // dir over them; dictPath resolves whichever is current.
+    // dir over them. BUT if THIS build call committed new posting shards
+    // (repairing a crashed append), the latest snapshot no longer covers
+    // them: write a fresh full-aggregation snapshot and advance the
+    // version, so the returned dict counts every shard on disk.
     val hasSnapshots = exists(spark, s"$indexDir/_dict_version")
-    if (!hasSnapshots && !stageDone(spark, dictDir)) {
+    if (hasSnapshots) {
+      if (repairedShards) {
+        val termStats = spark.read.parquet(postingsDir)
+          .groupBy("term")
+          .agg(sum("n").as("df"), sum("sumTf").as("cf"))
+        val newVer = readSmallFile(spark, s"$indexDir/_dict_version").get.toLong + 1
+        Dictionary.withIds(termStats)
+          .write.mode("overwrite").parquet(s"$indexDir/dicts/v=$newVer")
+        writeSmallFile(spark, s"$indexDir/_dict_version", newVer.toString)
+      }
+    } else if (!stageDone(spark, dictDir)) {
       val termStats = spark.read.parquet(postingsDir)
         .groupBy("term")
         .agg(sum("n").as("df"), sum("sumTf").as("cf"))
@@ -280,21 +301,31 @@ object IndexBuild {
     Index(docs, dict, spark.read.parquet(postingsDir).as[PostingBlock], stats)
   }
 
+  private def readSmallFile(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val f = fs(spark, path)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val b = new java.io.ByteArrayOutputStream()
+      try { var c = in.read(); while (c >= 0) { b.write(c); c = in.read() } } finally in.close()
+      Some(b.toString("UTF-8").trim)
+    }
+  }
+
+  private def writeSmallFile(spark: SparkSession, path: String, body: String): Unit = {
+    val p = new Path(path)
+    val out = fs(spark, path).create(p, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+  }
+
   /** Current dictionary location: a streaming-appended index carries a
    * `_dict_version` marker naming the latest immutable snapshot under
    * `dicts/v=N` (see [[graft.streaming.Streams.appendBatch]]); a pure
    * batch build uses the flat `dict/` stage dir. */
-  def dictPath(spark: SparkSession, indexDir: String): String = {
-    val marker = new Path(s"$indexDir/_dict_version")
-    val f = fs(spark, indexDir)
-    if (!f.exists(marker)) s"$indexDir/dict"
-    else {
-      val in = f.open(marker)
-      val b = new java.io.ByteArrayOutputStream()
-      try { var c = in.read(); while (c >= 0) { b.write(c); c = in.read() } } finally in.close()
-      s"$indexDir/dicts/v=${b.toString("UTF-8").trim.toLong}"
-    }
-  }
+  def dictPath(spark: SparkSession, indexDir: String): String =
+    readSmallFile(spark, s"$indexDir/_dict_version")
+      .fold(s"$indexDir/dict")(v => s"$indexDir/dicts/v=${v.toLong}")
 
   def load(spark: SparkSession, indexDir: String): Index = {
     import spark.implicits._

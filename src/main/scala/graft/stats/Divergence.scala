@@ -124,43 +124,38 @@ object Divergence {
     }
   }
 
+  // Each df-normalizing order composes [[average]]/[[geo]] with the ONE
+  // shared [[normalize]] (whose zero-sum guard returns the input unchanged
+  // — an all-zero term histogram yields zeros, not NaNs).
+
   /** Average first, then normalize by the average's total — the ADF
    * similarity's input (`TFDAwareNeed.averageAndDF:263-275`). */
-  def averageAndDf(list: Seq[Array[Double]]): Array[Double] = {
-    val avg = average(list)
-    val df = dfSum(avg)
-    avg.map(_ / df)
-  }
+  def averageAndDf(list: Seq[Array[Double]]): Array[Double] =
+    normalize(average(list))
 
   /** Normalize each term by its own df first, then average
    * (`TFDAwareNeed.dfAndAverage:187-206`). */
-  def dfAndAverage(list: Seq[Array[Double]]): Array[Double] = {
-    require(list.nonEmpty && list.forall(_.length == list.head.length))
-    val out = new Array[Double](list.head.length)
-    list.foreach { a =>
-      val df = dfSum(a)
-      var i = 0; while (i < out.length) { out(i) += a(i) / df; i += 1 }
-    }
-    out.map(_ / list.size)
-  }
+  def dfAndAverage(list: Seq[Array[Double]]): Array[Double] =
+    average(list.map(normalize))
 
   /** Geometric mean, then normalize by its total
    * (`TFDAwareNeed.geoAndDF:277-291`). */
-  def geoAndDf(list: Seq[Array[Double]]): Array[Double] = {
-    val g = geo(list)
-    val df = dfSum(g)
-    g.map(_ / df)
-  }
+  def geoAndDf(list: Seq[Array[Double]]): Array[Double] =
+    normalize(geo(list))
 
   /** Normalize each term by its own df first, then geometric mean
    * (`TFDAwareNeed.dfAndGeo:208-214`). */
   def dfAndGeo(list: Seq[Array[Double]]): Array[Double] =
-    geo(list.map(a => { val df = dfSum(a); a.map(_ / df) }))
+    geo(list.map(normalize))
 
   /** Ratio-of-cdf decoration: forwardCdf[i]/forwardCdf[i−1], length−1
    * (`Decorator.ratio:124-137` — note the FORWARD cumulative sum, unlike
-   * [[cdf]] above which is the tail-cumulative decoration). */
+   * [[cdf]] above which is the tail-cumulative decoration). Like the
+   * reference, a zero cdf prefix yields ∞/NaN ratios — callers are
+   * expected to decorate a nonzero zeroth position first
+   * ([[insertZerothPosition]], the df-at-0 convention). */
   def ratioOfCdf(arr: Array[Double]): Array[Double] = {
+    if (arr.isEmpty) return Array.empty
     val c = new Array[Double](arr.length)
     var acc = 0.0
     var i = 0

@@ -129,21 +129,59 @@ class StreamingSpec extends AnyFunSuite {
 
   test("legacy start sidecar (no dict base) replays via full re-agg, not a vocabulary wipe") {
     import spark.implicits._
+    import java.sql.Timestamp
     val dir = Files.createTempDirectory("graft-stream-legacy-test").toString
-    val a = Transcripts.generate(spark, 10, 2, seed = 61L, partitions = 1)
-    Streams.appendBatch(a, dir, docsPerShard = 32, batchId = Some(0L))
-    val fullVocab = IndexBuild.load(spark, dir).dict.count()
-    // simulate a sidecar written by the pre-snapshot code: plain start, no
-    // ':baseVersion' — and a lost done marker forcing a replay
+    // two batches with DISJOINT vocabularies: a legacy replay of batch 1
+    // parsed as dict base 0 would rebuild the dict from batch 1's shards
+    // only and lose batch 0's terms — the wipe must be observable
+    def mkTurns(prefix: String, words: String) = Seq(
+      Turn(s"$prefix-0", 0, "user", words, null, new Timestamp(0L))).toDS()
+    Streams.appendBatch(mkTurns("a", "alpha beta gamma"), dir,
+      docsPerShard = 32, batchId = Some(0L))
+    Streams.appendBatch(mkTurns("b", "delta epsilon"), dir,
+      docsPerShard = 32, batchId = Some(1L))
+    // replace batch 1's sidecar with the pre-snapshot format (plain start,
+    // no ':baseVersion') and lose its done marker, forcing a replay
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_batch_0_start"), true)
-    out.write("0".getBytes("UTF-8")); out.close()
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_0_done"), false)
-    Streams.appendBatch(a, dir, docsPerShard = 32, batchId = Some(0L))
-    val after = IndexBuild.load(spark, dir).dict.count()
-    assert(after == fullVocab,
-      s"legacy replay must keep the whole vocabulary ($fullVocab), got $after")
+    val startBody = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/_batch_1_start"))
+      val b = new java.io.ByteArrayOutputStream()
+      try { var c = in.read(); while (c >= 0) { b.write(c); c = in.read() } } finally in.close()
+      b.toString("UTF-8").trim.split(':')(0)
+    }
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_batch_1_start"), true)
+    out.write(startBody.getBytes("UTF-8")); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_batch_1_done"), false)
+    Streams.appendBatch(mkTurns("b", "delta epsilon"), dir,
+      docsPerShard = 32, batchId = Some(1L))
+    val terms = IndexBuild.load(spark, dir).dict
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(terms == Set("alpha", "beta", "gamma", "delta", "epsilon"),
+      s"legacy replay must keep batch 0's vocabulary, got $terms")
+  }
+
+  test("batch-build repair of a streamed index rebuilds lost shards AND refreshes the dict snapshot") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft-stream-repair-test").toString
+    def mkTurns(prefix: String, words: String) = Seq(
+      Turn(s"$prefix-0", 0, "user", words, null, new Timestamp(0L))).toDS()
+    Streams.appendBatch(mkTurns("a", "alpha beta"), dir, docsPerShard = 32, batchId = Some(0L))
+    Streams.appendBatch(mkTurns("b", "gamma delta"), dir, docsPerShard = 32, batchId = Some(1L))
+    // lose batch 1's posting shard (docIdNum 32 → shard 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/postings/shard=1"), true))
+    // repair via the batch builder over the full input: shard space must
+    // extend to max docIdNum (streamed ids are boundary-aligned, sparse),
+    // and the dict must advance to a snapshot covering the rebuilt shard
+    val all = mkTurns("a", "alpha beta").union(mkTurns("b", "gamma delta"))
+    val idx = IndexBuild.build(all, dir, docsPerShard = 32)
+    val terms = idx.dict.select("term").collect().map(_.getString(0)).toSet
+    assert(terms == Set("alpha", "beta", "gamma", "delta"), s"dict after repair: $terms")
+    val postings = idx.termDocs.collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(postings.contains(("b-0#0", "gamma")), "rebuilt shard must hold batch 1's postings")
   }
 
   test("distinct stream tokens isolate batch markers (fresh checkpoint restarts at id 0)") {
