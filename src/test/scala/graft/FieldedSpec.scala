@@ -65,6 +65,41 @@ class FieldedSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("udf"), s"no UDFs expected in the fielded plan:\n$plan")
   }
 
+  test("transcripts' natural fields (role / tool / contents) retrieve as true fields") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val turns = graft.data.Transcripts.generate(spark, 30, 6, seed = 3L, partitions = 2)
+    val base = turns.toDF()
+      .withColumn("docId", graft.data.Transcripts.docIdCol)
+    val contents = base
+      .select(col("docId"), lit("contents").as("field"),
+        size(split(col("text"), " ")).cast("long").as("docLen"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("docId", "field", "term", "docLen").agg(count(lit(1)).as("tf"))
+      .select("docId", "field", "term", "docLen", "tf")
+    val meta = base.select(col("docId"), lit("role").as("field"),
+        col("role").as("term"), lit(1L).as("docLen"), lit(1L).as("tf"))
+      .unionByName(base.filter(col("tool").isNotNull)
+        .select(col("docId"), lit("tool").as("field"),
+          col("tool").as("term"), lit(1L).as("docLen"), lit(1L).as("tf")))
+    val fielded = contents.unionByName(meta)
+
+    // "bash" only exists in the tool field; role 'tool' turns carry it
+    val got = Fielded.search(fielded, Seq(Topic(1, "bash w0")),
+        Scoring.BM25c(0.9, 0.4), k = 20,
+        boosts = Map("role" -> 0.9, "tool" -> 0.7, "contents" -> 0.3))
+      .collect().map(_.getString(1))
+    assert(got.nonEmpty, "tool-field term + content term must retrieve")
+    // every hit matched BOTH terms (msm(2) = 2): its tool is bash AND its
+    // text contains w0 — verify against the raw turns
+    val turnsById = turns.collect().map(t => s"${t.conv_id}#${t.turn_idx}" -> t).toMap
+    got.foreach { id =>
+      val t = turnsById(id)
+      assert(t.tool == "bash", s"$id matched without tool=bash")
+      assert(t.text.split(" ").contains("w0"), s"$id matched without w0 in text")
+    }
+  }
+
   test("single-term query: msm(1)=1 keeps single-field matches") {
     import spark.implicits._
     val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))
