@@ -60,7 +60,10 @@ object IndexBuild {
     exists(spark, s"$stageDir/_SUCCESS")
 
   /** Shards already fully written (present on disk = committed by a
-   * successful wave job; Spark commits partition dirs atomically per job). */
+   * successful wave job; Spark commits partition dirs atomically per job).
+   * Every shard in [0, numShards) holds at least one doc: batch builds
+   * number densely, and streaming batches start at the immediately next
+   * shard boundary — id ranges are contiguous at shard granularity. */
   def completedShards(spark: SparkSession, postingsDir: String): Set[Int] = {
     val f = fs(spark, postingsDir)
     val p = new Path(postingsDir)
