@@ -112,6 +112,28 @@ class SelectionSpec extends AnyFunSuite {
     assert(predictTag("KendallTauDFOrder", ns, sb, NS, SB) == SB)
   }
 
+  test("KNN model selection end-to-end: TFD vectors → χ² ADF distance → majority vote") {
+    import graft.model.Topic
+    import graft.stats.Divergence
+    // per-query term histograms → one ADF vector per query
+    // (knn/KNNTool.java:42-98 composed with TFDAwareNeed.averageAndDF)
+    val tfds: Map[Int, Array[Double]] = Map(
+      1 -> Divergence.averageAndDf(Seq(Array(10.0, 1.0, 0.0), Array(8.0, 2.0, 0.0))),
+      2 -> Divergence.averageAndDf(Seq(Array(9.0, 2.0, 0.0))),
+      3 -> Divergence.averageAndDf(Seq(Array(0.0, 1.0, 10.0), Array(0.0, 2.0, 9.0))),
+      4 -> Divergence.averageAndDf(Seq(Array(1.0, 1.0, 9.0))),
+      5 -> Divergence.averageAndDf(Seq(Array(10.0, 2.0, 0.0))))
+    val bestOf = Map(1 -> "DPH", 2 -> "DPH", 3 -> "BM25", 4 -> "BM25", 5 -> "DPH")
+    val topics = (1 to 5).map(q => Topic(q, s"q$q"))
+    val chi = (a: Array[Double], b: Array[Double]) => Divergence.chiPdf(a, b, divide = true)
+    val picked = Selection.knnSelect(topics, tfds, bestOf, k = 2, chi)
+    // query 5's shape is head-heavy like 1/2 → neighbors {1,2} → DPH;
+    // query 3's neighbors are {4, ...} with tail-heavy majority → BM25
+    assert(picked(5) == "DPH")
+    assert(picked(3) == "BM25")
+    assert(picked(1) == "DPH")
+  }
+
   test("rule-based model selection (RBEvaluator.scoreRuleBased:40-57)") {
     import Selection.ruleBasedModel
     // 1-word query
