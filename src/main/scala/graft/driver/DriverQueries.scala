@@ -400,18 +400,25 @@ object DriverQueries {
           col("qid"), round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
           round(col("avg"), 6).as("avg"), round(col("sum"), 6).as("sum"),
           round(col("gm"), 6).as("gm"), round(col("std"), 6).as("std"),
-          round(col("var"), 6).as("var"))
+          round(col("var"), 6).as("var"),
+          round(col("gamma1"), 6).as("gamma1"), round(col("gamma2"), 6).as("gamma2"),
+          round(col("dismax"), 6).as("dismax"), round(col("dismin"), 6).as("dismin"))
       },
       Some(s"""WITH $CTES,
         |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
         |pt AS (SELECT q.qid AS qid, ln(st.n * 1.0 / dict.df) AS idf
-        |       FROM q JOIN dict ON q.term = dict.term CROSS JOIN st)
-        |SELECT qid, round(min(idf), 6) AS min, round(max(idf), 6) AS max,
+        |       FROM q JOIN dict ON q.term = dict.term CROSS JOIN st),
+        |ext AS (SELECT qid, min(idf) AS mn, max(idf) AS mx FROM pt GROUP BY qid)
+        |SELECT pt.qid AS qid, round(min(idf), 6) AS min, round(max(idf), 6) AS max,
         |  round(avg(idf), 6) AS avg, round(sum(idf), 6) AS sum,
         |  round(exp(avg(ln(idf))), 6) AS gm,
         |  round(CASE WHEN count(*) > 1 THEN stddev_samp(idf) ELSE 0.0 END, 6) AS std,
-        |  round(CASE WHEN count(*) > 1 THEN var_samp(idf) ELSE 0.0 END, 6) AS var
-        |FROM pt GROUP BY qid""".stripMargin)),
+        |  round(CASE WHEN count(*) > 1 THEN var_samp(idf) ELSE 0.0 END, 6) AS var,
+        |  round(min(idf) / max(idf), 6) AS gamma1,
+        |  round(max(idf) / min(idf), 6) AS gamma2,
+        |  round(max(idf) + 0.1 * COALESCE(sum(CASE WHEN idf <> ext.mx THEN idf END), 0.0), 6) AS dismax,
+        |  round(min(idf) + 0.1 * COALESCE(sum(CASE WHEN idf <> ext.mn THEN idf END), 0.0), 6) AS dismin
+        |FROM pt JOIN ext ON pt.qid = ext.qid GROUP BY pt.qid""".stripMargin)),
 
     // Scope predictor (qpp/Scope.java:47-49).
     Spec("a10c_scope",

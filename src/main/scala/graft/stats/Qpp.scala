@@ -28,16 +28,31 @@ object Qpp {
   }
 
   /** Per-query aggregation of a per-term predictor column
-   * (`qpp/Aggregate.java`): min/max/avg/sum/geometric-mean/stddev/variance. */
-  def aggregate(perTerm: DataFrame, valueCol: String): DataFrame =
-    perTerm.groupBy("qid").agg(
+   * (`qpp/Aggregate.java`): min/max/avg/sum/geometric-mean/stddev/variance
+   * plus γ1 = min/max, γ2 = max/min (`Aggregate.java:68-93`) and the
+   * DisMax/DisMin families `extreme + tie·Σothers`
+   * (`Aggregate.java:20-66`; "others" excludes every value EQUAL to the
+   * extreme, as the reference's `!=` comparison does). */
+  def aggregate(perTerm: DataFrame, valueCol: String,
+                tie: Double = 0.1): DataFrame = {
+    // per-qid extremes joined back so Σ_{v ≠ extreme} is one grouped pass
+    val ext = perTerm.groupBy("qid")
+      .agg(min(valueCol).as("__mn"), max(valueCol).as("__mx"))
+    perTerm.join(ext, "qid").groupBy("qid").agg(
       min(valueCol).as("min"), max(valueCol).as("max"),
       avg(valueCol).as("avg"), sum(valueCol).as("sum"),
       exp(avg(log(col(valueCol)))).as("gm"),
       // single-term queries: Spark yields NaN for sample stats, DuckDB NULL —
       // pin both to 0 explicitly
       when(count(lit(1)) > 1, stddev_samp(valueCol)).otherwise(lit(0d)).as("std"),
-      when(count(lit(1)) > 1, var_samp(valueCol)).otherwise(lit(0d)).as("var"))
+      when(count(lit(1)) > 1, var_samp(valueCol)).otherwise(lit(0d)).as("var"),
+      (min(valueCol) / max(valueCol)).as("gamma1"),
+      (max(valueCol) / min(valueCol)).as("gamma2"),
+      (max(valueCol) + lit(tie) *
+        coalesce(sum(when(col(valueCol) =!= col("__mx"), col(valueCol))), lit(0d))).as("dismax"),
+      (min(valueCol) + lit(tie) *
+        coalesce(sum(when(col(valueCol) =!= col("__mn"), col(valueCol))), lit(0d))).as("dismin"))
+  }
 
   /** SCS — simplified clarity score, KL(query model ‖ collection model)
    * (`qpp/SCS.java:31-47`): Σ_terms qtf·ln(qtf/ctf), qtf = occurrences/|q|,
