@@ -60,7 +60,13 @@ object Analyzer {
      * with explicit URL/email span detection (documented approximation of
      * the UAX#29 URL/EMAIL productions). */
     case object UAX extends Tag { val name = "UAX" }
-    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball, KStem, Latin, ASCII, UAX)
+    /** Reference ICU chain (`Analyzers.java:119-124`): icu tokenizer →
+     * lowercase → kstem (no possessive filter). Documented deviation: the
+     * ICU tokenizer's dictionary-based segmentation for Thai/Lao/CJK is
+     * not reproduced — those scripts word-break as maximal runs, like the
+     * standard tokenizer; for space-delimited scripts the chains agree. */
+    case object ICU extends Tag { val name = "ICU" }
+    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball, KStem, Latin, ASCII, UAX, ICU)
     def of(name: String): Tag = all.find(_.name.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown analyzer tag: $name"))
   }
@@ -163,6 +169,8 @@ object Analyzer {
         base.result().filter(isLatinToken).map(KStem.stem).filter(_.nonEmpty)
       case Tag.ASCII =>
         base.result().filter(_.forall(_ < 0x80)).map(KStem.stem).filter(_.nonEmpty)
+      case Tag.ICU =>
+        base.result().map(KStem.stem).filter(_.nonEmpty)
       case Tag.UAX =>
         throw new IllegalStateException("unreachable: UAX handled above")
     }

@@ -78,6 +78,14 @@ class AnalyzerSpec extends AnyFunSuite {
       == Seq("plain", "words", "only"))
   }
 
+  test("ICU tag kstems without the possessive filter (Analyzers.java:119-124)") {
+    // KStem chain strips possessives first; ICU does not — "children's"
+    // keeps the trailing possessive token under ICU word-break + kstem
+    assert(Analyzer.analyze("Tables running мир", Analyzer.Tag.ICU)
+      == Seq("table", "run", "мир"))
+    assert(Analyzer.analyze("children", Analyzer.Tag.ICU) == Seq("child"))
+  }
+
   test("scriptOf edge cases (T4, Indexer.java:113-119)") {
     assert(Analyzer.scriptOf("hello") == "ascii")
     assert(Analyzer.scriptOf("héllo") == "other")  // Latin but not Basic-Latin
