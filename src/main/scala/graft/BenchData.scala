@@ -53,8 +53,12 @@ object BenchData {
     emb.crossJoin(reps)
       .select(
         (col("vec_id") + col("rep").cast("long") * nEmb).as("vec_id"),
-        // rotate the vector by rep positions (deterministic, norm-preserving)
-        expr("concat(slice(embedding, rep + 1, size(embedding) - rep), slice(embedding, 1, rep))")
+        // rotate the vector by (rep mod dim) positions (deterministic,
+        // norm-preserving; mod keeps the shift valid past dim replicas)
+        expr("""concat(
+            slice(embedding, pmod(rep, size(embedding)) + 1,
+                  size(embedding) - pmod(rep, size(embedding))),
+            slice(embedding, 1, pmod(rep, size(embedding))))""")
           .as("embedding"),
         col("label"))
       .repartition(4).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
