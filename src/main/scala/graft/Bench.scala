@@ -57,8 +57,13 @@ object Bench {
     // driver-side MemoryStream feeding the streaming gates, which every
     // task deserializes wholesale) stops measuring the engine. Skipped
     // names are reported so the omission is visible.
-    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+    val skipRequested = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    // report only gates ACTUALLY excluded — a typo'd name must not be
+    // claimed as skipped while the gate silently runs (or never existed)
+    val skip = skipRequested.intersect(SparkEntry.queries.keySet)
+    skipRequested.diff(skip).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_SKIP names unknown gate: $n"))
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => skip(name) }
       .map { case (name, fn) =>

@@ -396,17 +396,22 @@ object DriverQueries {
       (s, d) => {
         val pt = Qpp.perTerm(s, topics, dict(s, d),
           corpusStats(s, d))
+        // gamma ratios pinned to 0 when the relevant extreme is 0 (a term
+        // in every doc → idf 0; the reference's raw double division gives
+        // ∞/NaN, which the two engines hash differently)
         Qpp.aggregate(pt, "idf").select(
           col("qid"), round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
           round(col("avg"), 6).as("avg"), round(col("sum"), 6).as("sum"),
           round(col("gm"), 6).as("gm"), round(col("std"), 6).as("std"),
           round(col("var"), 6).as("var"),
-          round(col("gamma1"), 6).as("gamma1"), round(col("gamma2"), 6).as("gamma2"),
+          round(when(col("max") === 0, lit(0.0)).otherwise(col("gamma1")), 6).as("gamma1"),
+          round(when(col("min") === 0, lit(0.0)).otherwise(col("gamma2")), 6).as("gamma2"),
           round(col("dismax"), 6).as("dismax"), round(col("dismin"), 6).as("dismin"))
       },
       Some(s"""WITH $CTES,
         |q(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
-        |pt AS (SELECT q.qid AS qid, ln(st.n * 1.0 / dict.df) AS idf
+        |pt AS (SELECT q.qid AS qid, ln(st.n * 1.0 / dict.df) AS idf,
+        |         unnest(range(q.mult)) AS occ
         |       FROM q JOIN dict ON q.term = dict.term CROSS JOIN st),
         |ext AS (SELECT qid, min(idf) AS mn, max(idf) AS mx FROM pt GROUP BY qid)
         |SELECT pt.qid AS qid, round(min(idf), 6) AS min, round(max(idf), 6) AS max,
@@ -414,8 +419,8 @@ object DriverQueries {
         |  round(exp(avg(ln(idf))), 6) AS gm,
         |  round(CASE WHEN count(*) > 1 THEN stddev_samp(idf) ELSE 0.0 END, 6) AS std,
         |  round(CASE WHEN count(*) > 1 THEN var_samp(idf) ELSE 0.0 END, 6) AS var,
-        |  round(min(idf) / max(idf), 6) AS gamma1,
-        |  round(max(idf) / min(idf), 6) AS gamma2,
+        |  round(CASE WHEN max(idf) = 0 THEN 0.0 ELSE min(idf) / max(idf) END, 6) AS gamma1,
+        |  round(CASE WHEN min(idf) = 0 THEN 0.0 ELSE max(idf) / min(idf) END, 6) AS gamma2,
         |  round(max(idf) + 0.1 * COALESCE(sum(CASE WHEN idf <> ext.mx THEN idf END), 0.0), 6) AS dismax,
         |  round(min(idf) + 0.1 * COALESCE(sum(CASE WHEN idf <> ext.mn THEN idf END), 0.0), 6) AS dismin
         |FROM pt JOIN ext ON pt.qid = ext.qid GROUP BY pt.qid""".stripMargin)),

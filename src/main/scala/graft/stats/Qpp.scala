@@ -19,9 +19,10 @@ object Qpp {
   def perTerm(spark: SparkSession, topics: Seq[Topic], dict: DataFrame,
               stats: CorpusStats, tag: Analyzer.Tag = Analyzer.Tag.NoStem): DataFrame = {
     import spark.implicits._
-    val q = Exact.queryTerms(topics, tag).map { case (qid, t, _, _) => (qid, t) }.toDF("qid", "term")
+    val q = Exact.queryTerms(topics, tag).map { case (qid, t, m, _) => (qid, t, m) }
+      .toDF("qid", "term", "mult")
     dict.join(broadcast(q), Seq("term"))
-      .select(col("qid"), col("term"),
+      .select(col("qid"), col("term"), col("mult"),
         log(lit(stats.numDocs.toDouble) / col("df")).as("idf"),
         log(lit(stats.numTokens.toDouble) / col("cf")).as("ictf"),
         ((lit(1d) + log(col("cf"))) * log(lit(stats.numDocs.toDouble) / col("df"))).as("scq"))
@@ -35,10 +36,18 @@ object Qpp {
    * extreme, as the reference's `!=` comparison does). */
   def aggregate(perTerm: DataFrame, valueCol: String,
                 tie: Double = 0.1): DataFrame = {
+    // The reference aggregates over the FULL analyzed token list,
+    // duplicate occurrences included (`qpp/Base.aggregated`,
+    // `Base.java:102-110`) — expand by multiplicity when the frame carries
+    // it ("apple apple pie" contributes idf(apple) twice to sum/avg/…).
+    val occurrences =
+      if (perTerm.columns.contains("mult"))
+        perTerm.withColumn("__occ", explode(sequence(lit(1), col("mult"))))
+      else perTerm
     // per-qid extremes joined back so Σ_{v ≠ extreme} is one grouped pass
-    val ext = perTerm.groupBy("qid")
+    val ext = occurrences.groupBy("qid")
       .agg(min(valueCol).as("__mn"), max(valueCol).as("__mx"))
-    perTerm.join(ext, "qid").groupBy("qid").agg(
+    occurrences.join(ext, "qid").groupBy("qid").agg(
       min(valueCol).as("min"), max(valueCol).as("max"),
       avg(valueCol).as("avg"), sum(valueCol).as("sum"),
       exp(avg(log(col(valueCol)))).as("gm"),

@@ -79,11 +79,13 @@ class AnalyzerSpec extends AnyFunSuite {
   }
 
   test("ICU tag kstems without the possessive filter (Analyzers.java:119-124)") {
-    // KStem chain strips possessives first; ICU does not — "children's"
-    // keeps the trailing possessive token under ICU word-break + kstem
     assert(Analyzer.analyze("Tables running мир", Analyzer.Tag.ICU)
       == Seq("table", "run", "мир"))
     assert(Analyzer.analyze("children", Analyzer.Tag.ICU) == Seq("child"))
+    // the distinguishing behavior vs the KStem chain: no possessive strip —
+    // the apostrophe token passes through kstem untouched (non-alphabetic)
+    assert(Analyzer.analyze("children's", Analyzer.Tag.ICU) == Seq("children's"))
+    assert(Analyzer.analyze("children's", Analyzer.Tag.KStem) == Seq("child"))
   }
 
   test("scriptOf edge cases (T4, Indexer.java:113-119)") {
