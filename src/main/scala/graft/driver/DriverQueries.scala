@@ -1299,6 +1299,45 @@ object DriverQueries {
         |SELECT doc_id + 200000 AS id, md5(text || ' xnearx') AS text_hash
         |FROM documents WHERE doc_id >= 25 AND doc_id < 50""".stripMargin)),
 
+    // ST4 — streaming topic match / percolation: the standing topic set
+    // scored against each incoming turn with BM25c under the STATIC
+    // corpus's statistics — a stateless per-batch map (no shuffle, no
+    // state store). Oracle = the same scored join in batch SQL, every
+    // match kept (minScore 0; BM25 can go negative on every-doc terms,
+    // which the threshold drops in both engines identically).
+    Spec("st4_stream_match",
+      (s, d) => {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val rows = Transcripts.table(s, d, "documents").select("doc_id", "text")
+          .as[(Long, String)].collect().sortBy(_._1).toSeq
+        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val out = graft.streaming.Streams.topicMatches(
+          stream.toDF().toDF("id", "text"), "id", "text",
+          topics, dict(s, d), corpusStats(s, d),
+          Scoring.BM25c(0.9, 0.4), minScore = 0.0, floatBoundary = false)
+          .select(col("id"), col("qid"), round(col("score"), 4).as("score"))
+        val qn = memQueryName("st4")
+        val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+        try {
+          val (b1, b2) = rows.splitAt(rows.size / 2)
+          stream.addData(b1); q.processAllAvailable()
+          stream.addData(b2); q.processAllAvailable()
+        } finally q.stop()
+        s.table(qn)
+      },
+      Some(s"""WITH $CTES,
+        |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
+        |m AS (SELECT qv.qid AS qid, tf.doc_id AS id,
+        |        sum(qv.mult * ($bm25Sql)) AS raw
+        |      FROM qv
+        |      JOIN tf ON qv.term = tf.term
+        |      JOIN dl ON tf.doc_id = dl.doc_id
+        |      JOIN dict ON qv.term = dict.term
+        |      CROSS JOIN st
+        |      GROUP BY qv.qid, tf.doc_id)
+        |SELECT id, qid, round(raw, 4) AS score FROM m WHERE raw >= 0""".stripMargin)),
+
     // ST2 — event-time tumbling-window token stats (ts = doc_id seconds
     // since epoch, 60s windows); complete mode for a deterministic final
     // table (append-mode watermark finalization is pinned in StreamingSpec).

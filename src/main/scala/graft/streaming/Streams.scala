@@ -68,6 +68,66 @@ object Streams {
    * (first batch on a pre-existing batch-built index). Every committed
    * append persists the high-water mark, so steady-state batches never
    * re-scan the docs table (round-2 VERDICT "What's wrong" #2). */
+  /**
+   * Streaming topic match ("percolation"): score every incoming turn
+   * against a STANDING query set — the reference's searcher inverted
+   * (queries fixed, documents flow). Corpus statistics (df/cf/N/C) come
+   * from a static index of the standing corpus the stream augments; the
+   * per-(topic, term) stats are resolved once on the driver and broadcast
+   * in the closure, so each micro-batch is a stateless MAP — no shuffle,
+   * no state store, append mode, scales linearly with the stream.
+   *
+   * Scoring semantics match [[graft.query.Exact]]: OR-sum of per-term
+   * model scores over the turn's own tf/doclen, duplicate query terms
+   * once per occurrence.
+   *
+   * @param floatBoundary reference float-cast per term
+   *   (`ModelBase.java:145`); false = pure-double (cross-engine gate mode)
+   * @return (id, qid, score) for matches with score ≥ minScore
+   */
+  def topicMatches(df: DataFrame, idCol: String, textCol: String,
+                   topics: Seq[graft.model.Topic], dict: DataFrame,
+                   stats: graft.model.CorpusStats,
+                   model: graft.query.Scoring.Model, minScore: Double,
+                   tag: Analyzer.Tag = Analyzer.Tag.NoStem,
+                   floatBoundary: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val byQid: Map[Int, Seq[(String, Int, Long, Long)]] =
+      graft.query.Exact.qtermStats(spark, topics, dict, tag)
+        .select("qid", "term", "mult", "df", "cf").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1)
+        .map { case (qid, rows) => qid -> rows.toSeq.map(t => (t._2, t._3, t._4, t._5)) }
+    val n = stats.numDocs.toDouble
+    val c = stats.numTokens.toDouble
+    val avgdl = c / n
+    val matcher = udf { (text: String) =>
+      val toks = Analyzer.analyze(text, tag)
+      val dl = toks.size.toLong
+      if (dl == 0L) Seq.empty[(Int, Double)]
+      else {
+        val tf = new java.util.HashMap[String, Long]()
+        toks.foreach(t => tf.merge(t, 1L, _ + _))
+        byQid.iterator.flatMap { case (qid, terms) =>
+          var s = 0.0
+          var matched = false
+          terms.foreach { case (t, mult, dfv, cfv) =>
+            val f = tf.getOrDefault(t, 0L)
+            if (f > 0L) {
+              matched = true
+              val perTerm = model.score(f.toDouble, dl, avgdl, 1.0,
+                dfv.toDouble, cfv.toDouble, n, c)
+              s += (if (floatBoundary) perTerm.toFloat.toDouble else perTerm) * mult
+            }
+          }
+          if (matched && s >= minScore) Iterator.single((qid, s)) else Iterator.empty
+        }.toSeq
+      }
+    }
+    df.select(col(idCol).as("id"), explode(matcher(col(textCol))).as("m"))
+      .select(col("id"), col("m._1").as("qid"), col("m._2").as("score"))
+  }
+
   private def maxDocIdNum(spark: org.apache.spark.sql.SparkSession, docsDir: String): Option[Long] = {
     val p = new Path(docsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

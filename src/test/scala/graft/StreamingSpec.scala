@@ -219,6 +219,40 @@ class StreamingSpec extends AnyFunSuite {
       s"stale sidecars not collected: ${markers.mkString(", ")}")
   }
 
+  test("topicMatches percolates a standing query set over the stream (map-only, matches Exact)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.index.{Dictionary, Tokenize}
+    import graft.model.Topic
+    import graft.query.Scoring
+    val turns = Transcripts.generate(spark, 40, 3, seed = 13L, partitions = 2)
+    val td = Tokenize.termDocs(turns)
+    val dict = Dictionary.termStats(td)
+    val stats = Tokenize.corpusStats(Tokenize.docs(turns))
+    val topics = Seq(Topic(1, "w0 w3"), Topic(2, "needle0"))
+    val model = Scoring.BM25c(0.9, 0.4)
+
+    val stream = MemoryStream[(String, String)]
+    val out = Streams.topicMatches(stream.toDF().toDF("id", "text"), "id", "text",
+      topics, dict, stats, model, minScore = Double.NegativeInfinity)
+    val q = out.writeStream.format("memory").queryName("st_match_test")
+      .outputMode("append").start()
+    val local = turns.collect().toSeq
+    try {
+      val (b1, b2) = local.map(t => (s"${t.conv_id}#${t.turn_idx}", t.text)).splitAt(60)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("st_match_test")
+      .collect().map(r => (r.getInt(1), r.getString(0), r.getDouble(2).toFloat))
+      .toSet
+    // batch reference: the exact path's per-(qid, doc) scores over the same corpus
+    val want = graft.query.Exact.search(td, dict, stats, topics, model, k = Int.MaxValue)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getFloat(3))).toSet
+    assert(got == want, s"stream matches must equal the batch scored join " +
+      s"(got ${got.size}, want ${want.size})")
+  }
+
   test("streaming dedup keeps the first-seen content hash across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
