@@ -18,6 +18,7 @@ import graft.query.{BlockMaxWand, Exact, Scoring}
  * spark-submit --class graft.cli.Main <jar> search --index <dir> --topics <file> [--format tsv|wt|tt|mq] [--model BM25k0.9b0.4] [--k 1000] [--path bmw|exact] [--out runFile] [--sentinel id]
  * spark-submit --class graft.cli.Main <jar> stats  --index <dir> [--terms a,b,c] --out <dir>
  * spark-submit --class graft.cli.Main <jar> generate --turns N --out <turns.parquet>
+ * spark-submit --class graft.cli.Main <jar> curate --input <turns.parquet> --out <dir> [--langs en,de] [--min-quality 0.5]
  * }}}
  */
 object Main {
@@ -119,6 +120,22 @@ object Main {
           .toDF("docCount", "sumTotalTermFreq", "avgLength")
           .write.mode("overwrite").option("header", "true").csv(s"$out/field_stats")
         println(s"""{"docs":${index.stats.numDocs},"out":"$out"}""")
+
+      case "curate" =>
+        // training-data curation over a transcripts table: exact dedup →
+        // language filter → quality band (pipeline/Curation.scala), writing
+        // the surviving (docId, lang_pred, quality) plus the curated turns
+        val turns = spark.read.parquet(opt("input")).as[Turn]
+        val langs = opt.get("langs").map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        val minQ = opt.getOrElse("min-quality", "0.5").toDouble
+        val base = turns.toDF().withColumn("docId", Transcripts.docIdCol)
+        val t0 = System.nanoTime()
+        val kept = graft.pipeline.Curation.curate(base, "docId", "text", langs, minQ)
+        kept.write.mode("overwrite").parquet(s"${opt("out")}/curated_ids")
+        val curated = base.join(kept.select(col("id").as("docId")), Seq("docId"), "left_semi")
+        curated.drop("docId").write.mode("overwrite").parquet(s"${opt("out")}/turns")
+        val (in, outN) = (turns.count(), curated.count())
+        println(s"""{"input_turns":$in,"curated_turns":$outN,"sec":${(System.nanoTime() - t0) / 1e9},"out":"${opt("out")}"}""")
 
       case other => throw new IllegalArgumentException(s"unknown subcommand: $other")
     }
