@@ -253,6 +253,28 @@ class StreamingSpec extends AnyFunSuite {
       s"(got ${got.size}, want ${want.size})")
   }
 
+  test("topicMatches plan is a stateless map — no Exchange, no aggregation") {
+    import spark.implicits._
+    import graft.index.{Dictionary, Tokenize}
+    import graft.model.Topic
+    import graft.query.Scoring
+    val turns = Transcripts.generate(spark, 10, 2, seed = 17L, partitions = 1)
+    val td = Tokenize.termDocs(turns)
+    val dict = Dictionary.termStats(td)
+    val stats = Tokenize.corpusStats(Tokenize.docs(turns))
+    // same transformation over a batch frame exposes the executed plan
+    val out = Streams.topicMatches(
+      turns.toDF().select(concat(col("conv_id"), lit("#"), col("turn_idx")).as("id"), col("text")),
+      "id", "text", Seq(Topic(1, "w0 w1")), dict, stats,
+      Scoring.BM25c(0.9, 0.4), minScore = 0.0)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"percolation must not shuffle the stream:\n$plan")
+    assert(!plan.contains("Aggregate"),
+      s"percolation must not aggregate the stream:\n$plan")
+  }
+
   test("streaming dedup keeps the first-seen content hash across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
