@@ -89,6 +89,61 @@ object DriverQueries {
     })
   }
 
+  /** The r3 fielded posting source: documents split into a synthetic
+   * 'title' field (first 8 tokens) + 'contents' (rest) —
+   * (docId, field, term, tf, docLen) with per-FIELD doclens. */
+  private def fieldedSplitSource(s: SparkSession, d: String): DataFrame = {
+    val docs = Transcripts.table(s, d, "documents")
+      .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+        split(col("text"), " ").as("toks"))
+    docs
+      .select(col("docId"), lit("title").as("field"), slice(col("toks"), 1, 8).as("ftoks"))
+      .unionByName(docs.select(col("docId"), lit("contents").as("field"),
+        expr("slice(toks, 9, greatest(size(toks) - 8, 0))").as("ftoks")))
+      .filter(size(col("ftoks")) > 0)
+      .select(col("docId"), col("field"), size(col("ftoks")).cast("long").as("docLen"),
+        explode(col("ftoks")).as("term"))
+      .groupBy("docId", "field", "term", "docLen")
+      .agg(count(lit(1)).as("tf"))
+      .select("docId", "field", "term", "tf", "docLen")
+  }
+
+  /** The r3b fielded source over the documents' NATURAL fields: contents =
+   * text tokens; source/lang = the column value as a one-token field. */
+  private def fieldedNaturalSource(s: SparkSession, d: String): DataFrame = {
+    val docs = Transcripts.table(s, d, "documents")
+      .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+        col("text"), col("lang"), col("source"))
+    val contents = docs
+      .select(col("docId"), lit("contents").as("field"),
+        size(split(col("text"), " ")).cast("long").as("docLen"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy("docId", "field", "term", "docLen")
+      .agg(count(lit(1)).as("tf"))
+      .select("docId", "field", "term", "tf", "docLen")
+    val meta = docs
+      .select(col("docId"), lit("source").as("field"), col("source").as("term"),
+        lit(1L).as("tf"), lit(1L).as("docLen"))
+      .unionByName(docs.select(col("docId"), lit("lang").as("field"),
+        col("lang").as("term"), lit(1L).as("tf"), lit(1L).as("docLen")))
+    contents.unionByName(meta)
+  }
+
+  /** Prebuilt fielded indexes (round-3 VERDICT #1): per-field postings +
+   * dict + stats materialized ONCE per (sfDir, variant); the r3/r3b gates
+   * then run query-term-pruned scans only. */
+  private val fieldedCache =
+    scala.collection.mutable.Map.empty[(String, String), graft.index.FieldedIndex.FIndex]
+  def fieldedIndex(s: SparkSession, d: String, variant: String): graft.index.FieldedIndex.FIndex =
+    synchronized {
+      fieldedCache.getOrElseUpdate((d, variant), {
+        val dir = java.nio.file.Files.createTempDirectory(s"graft-fidx-$variant").toString
+        val src = if (variant == "natural") fieldedNaturalSource(s, d)
+                  else fieldedSplitSource(s, d)
+        graft.index.FieldedIndex.build(src, dir)
+      })
+    }
+
   // ---- shared DuckDB CTEs ----
   private val CTES =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1543,21 +1598,10 @@ object DriverQueries {
     // max + 0.1·(sum−max) per term, msm(len) filter, top-20.
     Spec("r3_fielded_dismax",
       (s, d) => {
-        val docs = Transcripts.table(s, d, "documents")
-          .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
-            split(col("text"), " ").as("toks"))
-        val fields = docs
-          .select(col("docId"), lit("title").as("field"), slice(col("toks"), 1, 8).as("ftoks"))
-          .unionByName(docs.select(col("docId"), lit("contents").as("field"),
-            expr("slice(toks, 9, greatest(size(toks) - 8, 0))").as("ftoks")))
-          .filter(size(col("ftoks")) > 0)
-        val fielded = fields
-          .select(col("docId"), col("field"), size(col("ftoks")).as("docLen"),
-            explode(col("ftoks")).as("term"))
-          .groupBy("docId", "field", "term", "docLen")
-          .agg(count(lit(1)).as("tf"))
-        graft.query.Fielded.search(fielded, topics, Scoring.BM25c(0.9, 0.4), K,
-            rounded = Some(4))
+        // prebuilt fielded index (built once per sfDir); the query plan is
+        // term-pruned scans only — no corpus aggregate per call
+        graft.query.Fielded.searchIndexed(fieldedIndex(s, d, "split"), topics,
+            Scoring.BM25c(0.9, 0.4), K, rounded = Some(4))
           .withColumnRenamed("docId", "docid")
       },
       Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1923,23 +1967,7 @@ object DriverQueries {
     // per-field doclens/df/cf — no synthesized title split.
     Spec("r3b_fielded_natural",
       (s, d) => {
-        val docs = Transcripts.table(s, d, "documents")
-          .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
-            col("text"), col("lang"), col("source"))
-        val contents = docs
-          .select(col("docId"), lit("contents").as("field"),
-            size(split(col("text"), " ")).cast("long").as("docLen"),
-            explode(split(col("text"), " ")).as("term"))
-          .groupBy("docId", "field", "term", "docLen")
-          .agg(count(lit(1)).as("tf"))
-          .select("docId", "field", "term", "docLen", "tf")
-        val meta = docs
-          .select(col("docId"), lit("source").as("field"), col("source").as("term"),
-            lit(1L).as("docLen"), lit(1L).as("tf"))
-          .unionByName(docs.select(col("docId"), lit("lang").as("field"),
-            col("lang").as("term"), lit(1L).as("docLen"), lit(1L).as("tf")))
-          .select("docId", "field", "term", "docLen", "tf")
-        graft.query.Fielded.search(contents.unionByName(meta), fieldTopics,
+        graft.query.Fielded.searchIndexed(fieldedIndex(s, d, "natural"), fieldTopics,
             Scoring.BM25c(0.9, 0.4), K,
             boosts = Map("source" -> 0.9, "lang" -> 0.5, "contents" -> 0.3),
             rounded = Some(4))
@@ -1988,8 +2016,127 @@ object DriverQueries {
         |SELECT qid, docid, rank, score FROM ranked WHERE rank <= $K""".stripMargin))
   )
 
+  // ---- batch 10 (round 4): spam ROC intrinsic eval, all-pairs sig matrix ----
+
+  /** Synthetic RocTool input: qid × every document with a qrels grade
+   * (−2 spam … 2 relevant; −1 exercises the reference's uncounted "junk"
+   * path) and the r6 fixture's percentile (doc_id % 100). */
+  private def rocLabeled(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qids = topics.map(_.qid).toDF("qid")
+    Transcripts.table(s, d, "documents")
+      .select(col("doc_id"))
+      .crossJoin(broadcast(qids))
+      .select(col("qid"),
+        concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+        ((col("doc_id") + col("qid")) % 5 - 2).cast("int").as("grade"),
+        (col("doc_id") % 100).cast("int").as("percentile"),
+        // exactly-representable 0.5-step odds in [−10, 15.5] ⊂ the valid
+        // Fusion odds range — bin math is exact in both engines
+        ((col("doc_id") % 52) * 0.5 - 10.0).as("odds"))
+  }
+
+  private val rocLabeledSqlCte =
+    s"""lab AS (SELECT q.qid AS qid, d.doc_id AS doc_id,
+       |  CAST((d.doc_id + q.qid) % 5 - 2 AS INT) AS grade,
+       |  CAST(d.doc_id % 100 AS INT) AS percentile,
+       |  (d.doc_id % 52) * 0.5 - 10.0 AS odds
+       |  FROM documents d CROSS JOIN (VALUES $qidValues) AS q(qid))""".stripMargin
+
+  private val confusionSql =
+    """round(CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END, 6) AS "precision",
+      |  round(CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END, 6) AS recall,
+      |  round(CASE WHEN tn + fp = 0 THEN 0.0 ELSE fp * 1.0 / (tn + fp) END, 6) AS fallout,
+      |  round(CASE WHEN (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END)
+      |           + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END) = 0 THEN 0.0
+      |        ELSE 2.0 * (CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END)
+      |           * (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END)
+      |           / ((CASE WHEN tp + fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END)
+      |            + (CASE WHEN tp + fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END)) END, 6) AS f1""".stripMargin
+
+  private def rocSelect(df: DataFrame): DataFrame =
+    df.select(col("threshold"), col("tp"), col("tn"), col("fp"), col("fn"),
+      round(col("precision"), 6).as("precision"), round(col("recall"), 6).as("recall"),
+      round(col("fallout"), 6).as("fallout"), round(col("f1"), 6).as("f1"))
+
+  val specs10: Seq[Spec] = Seq(
+
+    // RC1 — spam intrinsic evaluation, percentile thresholds
+    // (`cmdline/RocTool.java:193-221` classify + `:297-371` distribution):
+    // per-class percentile histogram → confusion matrix + precision /
+    // recall / fallout / F1 at every threshold 0..100. The corpus touches
+    // ONE aggregation; the threshold sweep runs on the ≤100-row histogram.
+    Spec("rc1_spam_roc",
+      (s, d) => rocSelect(graft.eval.Spam.rocPercentile(rocLabeled(s, d), 0 to 100)),
+      Some(s"""WITH $rocLabeledSqlCte,
+        |hist AS (SELECT percentile,
+        |    CAST(sum(CASE WHEN grade = -2 THEN 1 ELSE 0 END) AS BIGINT) AS spam,
+        |    CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT) AS relevant
+        |  FROM lab GROUP BY percentile),
+        |cm AS (SELECT CAST(th.threshold AS INT) AS threshold,
+        |    CAST(COALESCE(sum(CASE WHEN percentile < th.threshold THEN spam END), 0) AS BIGINT) AS tp,
+        |    CAST(COALESCE(sum(CASE WHEN percentile >= th.threshold THEN relevant END), 0) AS BIGINT) AS tn,
+        |    CAST(COALESCE(sum(CASE WHEN percentile < th.threshold THEN relevant END), 0) AS BIGINT) AS fp,
+        |    CAST(COALESCE(sum(CASE WHEN percentile >= th.threshold THEN spam END), 0) AS BIGINT) AS fn
+        |  FROM range(0, 101) th(threshold) CROSS JOIN hist GROUP BY th.threshold)
+        |SELECT threshold, tp, tn, fp, fn,
+        |  $confusionSql
+        |FROM cm""".stripMargin)),
+
+    // RC1b — spam intrinsic evaluation over the Fusion log-odds bins
+    // (`spam/OddsBinning.java` + `RocTool.classifyOdds:223-254`): bins are
+    // the fixed 0.5-wide intervals (floor(2·odds + 21)), and the spam label
+    // direction flips — bin ABOVE threshold ⇒ spam.
+    Spec("rc1b_spam_roc_odds",
+      (s, d) => rocSelect(graft.eval.Spam.rocOdds(rocLabeled(s, d), 0 to 52)),
+      Some(s"""WITH $rocLabeledSqlCte,
+        |binned AS (SELECT *, CAST(floor(2.0 * odds + 21.0) AS INT) AS bin FROM lab),
+        |hist AS (SELECT bin,
+        |    CAST(sum(CASE WHEN grade = -2 THEN 1 ELSE 0 END) AS BIGINT) AS spam,
+        |    CAST(sum(CASE WHEN grade > 0 THEN 1 ELSE 0 END) AS BIGINT) AS relevant
+        |  FROM binned GROUP BY bin),
+        |cm AS (SELECT CAST(th.threshold AS INT) AS threshold,
+        |    CAST(COALESCE(sum(CASE WHEN bin > th.threshold THEN spam END), 0) AS BIGINT) AS tp,
+        |    CAST(COALESCE(sum(CASE WHEN bin <= th.threshold THEN relevant END), 0) AS BIGINT) AS tn,
+        |    CAST(COALESCE(sum(CASE WHEN bin > th.threshold THEN relevant END), 0) AS BIGINT) AS fp,
+        |    CAST(COALESCE(sum(CASE WHEN bin <= th.threshold THEN spam END), 0) AS BIGINT) AS fn
+        |  FROM range(0, 53) th(threshold) CROSS JOIN hist GROUP BY th.threshold)
+        |SELECT threshold, tp, tn, fp, fn,
+        |  $confusionSql
+        |FROM cm""".stripMargin)),
+
+    // Z2 — all-model-pairs significance matrix (the Evaluator.java pairwise
+    // facet) over the p1 sweep's per-(model, qid) AP: paired-t + Wilcoxon
+    // signed-rank z per unordered pair, as one grouped DataFrame op with
+    // windowed average-tie ranks — no driver loop over pairs.
+    Spec("z2_sig_matrix",
+      (s, d) => {
+        graft.stats.Risk.sigMatrixDf(sweepPq(s, d), "model", "qid", "ap")
+          .select(col("model_a"), col("model_b"), col("n"),
+            round(col("t"), 6).as("t"), round(col("wz"), 6).as("wz"))
+      },
+      Some(s"""WITH $CTES,
+        |$sweepPqSql,
+        |prs AS (SELECT a.model AS model_a, b.model AS model_b,
+        |    b.ap - a.ap AS dd, abs(b.ap - a.ap) AS absd
+        |  FROM pq a JOIN pq b ON a.qid = b.qid AND a.model < b.model),
+        |rk AS (SELECT *,
+        |    rank() OVER (PARTITION BY model_a, model_b ORDER BY absd) AS minrank,
+        |    count(*) OVER (PARTITION BY model_a, model_b, absd) AS ties
+        |  FROM prs),
+        |ag AS (SELECT model_a, model_b, CAST(count(*) AS BIGINT) AS n,
+        |    avg(dd) AS meand, var_samp(dd) AS vard,
+        |    sum(CASE WHEN dd > 0 THEN minrank + (ties - 1) / 2.0 ELSE 0.0 END) AS wplus
+        |  FROM rk GROUP BY model_a, model_b)
+        |SELECT model_a, model_b, n,
+        |  round(meand / sqrt(vard / n), 6) AS t,
+        |  round((wplus - n * (n + 1) / 4.0 - 0.5)
+        |    / sqrt((n * (n + 1) / 4.0) * (2.0 * n + 1) / 6.0), 6) AS wz
+        |FROM ag""".stripMargin))
+  )
+
   private def allSpecs: Seq[Spec] =
-    specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8 ++ specs9
+    specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8 ++ specs9 ++ specs10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allSpecs.map(s => s.name -> s.fn).toMap

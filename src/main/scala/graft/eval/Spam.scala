@@ -18,8 +18,105 @@ import graft.model.Turn
  *    `skip(docId)` per document against a Solr lookup; here one broadcast
  *    left join against the side spam-score table — threshold 0 keeps
  *    everything, like the reference's early return).
+ *  - [[rocPercentile]] / [[rocOdds]] — the spam-threshold intrinsic
+ *    evaluation (`cmdline/RocTool.java:183-254,297-371`): per-class
+ *    score-histogram → confusion matrix (tp/tn/fp/fn) + precision /
+ *    recall / fallout / F1 per candidate threshold. Percentile direction:
+ *    score < threshold ⇒ spam (`Struct.classify`); odds-bin direction:
+ *    bin > threshold ⇒ spam (`Struct.classifyOdds` — high log-odds means
+ *    spammy in the Fusion odds set).
  */
 object Spam {
+
+  /** Grade → class, `RocTool.distribution:344-362`: −2 spam, >0 relevant,
+   * 0 non-relevant (−1 "junk" rows fall through uncounted). */
+  private def classCols(grade: org.apache.spark.sql.Column) = (
+    when(grade === -2, 1L).otherwise(0L),
+    when(grade > 0, 1L).otherwise(0L),
+    when(grade === 0, 1L).otherwise(0L))
+
+  private def confusionMetrics(df: DataFrame): DataFrame = {
+    val tpfp = col("tp") + col("fp")
+    val prec = when(tpfp === 0, 0.0).otherwise(col("tp").cast("double") / tpfp)
+    val rec = when(col("tp") + col("fn") === 0, 0.0)
+      .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+    df.withColumn("precision", prec)
+      .withColumn("recall", rec)
+      .withColumn("fallout", when(col("tn") + col("fp") === 0, 0.0)
+        .otherwise(col("fp").cast("double") / (col("tn") + col("fp"))))
+      .withColumn("f1", when(col("precision") + col("recall") === 0, 0.0)
+        .otherwise(lit(2.0) * col("precision") * col("recall")
+          / (col("precision") + col("recall"))))
+  }
+
+  /**
+   * Percentile-threshold ROC (`RocTool.Struct.classify:193-221`): label
+   * docs with percentile < threshold as spam; tp/fp accumulate below the
+   * threshold, tn/fn at or above it. One corpus-side aggregation to a
+   * ≤100-row histogram, then a tiny histogram × thresholds cross join —
+   * corpus scale never touches the threshold loop.
+   *
+   * @param labeled one row per judged (qid, docId): `grade` (qrels grade,
+   *   −2 = spam) and `percentile` ∈ [0, 100)
+   * @param uniq count each docId once per class (`RocTool.increment:373-381`
+   *   with `-uniq`); default counts every judged (qid, docId) row
+   */
+  def rocPercentile(labeled: DataFrame, thresholds: Seq[Int] = 0 to 100,
+                    uniq: Boolean = false): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val (isSpam, isRel, isNon) = classCols(col("grade"))
+    val hist =
+      if (uniq)
+        labeled.groupBy("percentile").agg(
+          countDistinct(when(col("grade") === -2, col("docId"))).as("spam"),
+          countDistinct(when(col("grade") > 0, col("docId"))).as("relevant"),
+          countDistinct(when(col("grade") === 0, col("docId"))).as("non"))
+      else
+        labeled.groupBy("percentile").agg(
+          sum(isSpam).as("spam"), sum(isRel).as("relevant"), sum(isNon).as("non"))
+    val th = thresholds.toDF("threshold")
+    val below = col("percentile") < col("threshold")
+    confusionMetrics(
+      hist.crossJoin(broadcast(th)).groupBy("threshold").agg(
+        coalesce(sum(when(below, col("spam"))), lit(0L)).as("tp"),
+        coalesce(sum(when(!below, col("relevant"))), lit(0L)).as("tn"),
+        coalesce(sum(when(below, col("relevant"))), lit(0L)).as("fp"),
+        coalesce(sum(when(!below, col("spam"))), lit(0L)).as("fn")))
+  }
+
+  /**
+   * Odds-bin-threshold ROC (`RocTool.Struct.classifyOdds:223-254`): label
+   * docs whose [[OddsBinning]] bin is ABOVE the threshold as spam (high
+   * log-odds ⇒ spammy). `labeled` carries `grade` and `odds` (the Fusion
+   * log-odds ratio); bins are the fixed 0.5-wide intervals, computed as
+   * column math (`floor(2·odds + 21)` ≡ `OddsBinning.bin` on valid input).
+   */
+  def rocOdds(labeled: DataFrame,
+              thresholds: Seq[Int] = 0 until OddsBinning.intervals.length - 1,
+              uniq: Boolean = false): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val binned = labeled.withColumn("bin",
+      floor(lit(2.0) * col("odds").cast("double") + lit(21.0)).cast("int"))
+    val hist =
+      if (uniq)
+        binned.groupBy("bin").agg(
+          countDistinct(when(col("grade") === -2, col("docId"))).as("spam"),
+          countDistinct(when(col("grade") > 0, col("docId"))).as("relevant"))
+      else {
+        val (isSpam, isRel, _) = classCols(col("grade"))
+        binned.groupBy("bin").agg(sum(isSpam).as("spam"), sum(isRel).as("relevant"))
+      }
+    val th = thresholds.toDF("threshold")
+    val above = col("bin") > col("threshold")
+    confusionMetrics(
+      hist.crossJoin(broadcast(th)).groupBy("threshold").agg(
+        coalesce(sum(when(above, col("spam"))), lit(0L)).as("tp"),
+        coalesce(sum(when(!above, col("relevant"))), lit(0L)).as("tn"),
+        coalesce(sum(when(above, col("relevant"))), lit(0L)).as("fp"),
+        coalesce(sum(when(!above, col("spam"))), lit(0L)).as("fn")))
+  }
 
   object OddsBinning {
     /** Interval floors −10.5, −10, …, 16 (`OddsBinning.intervals`). */

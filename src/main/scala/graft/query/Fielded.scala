@@ -35,7 +35,13 @@ object Fielded {
       .when(queryLen < 5, queryLen - 1)
       .otherwise(queryLen - 2)
 
-  /** @param rounded round the doc score to this many decimals and rank on
+  /** On-the-fly variant for RAW fielded posting frames (unit fixtures,
+   * one-off frames): per-field stats and the query-term dictionary are
+   * aggregated from the source within this query's plan. For anything
+   * living past one query, build a [[graft.index.FieldedIndex]] once and
+   * use [[searchIndexed]] — this variant scans the full source per call.
+   *
+   * @param rounded round the doc score to this many decimals and rank on
    *   the rounded value (cross-engine float discipline for the DuckDB gate;
    *   None = reference float semantics) */
   def search(fieldedTermDocs: DataFrame, topics: Seq[Topic], model: Scoring.Model,
@@ -61,7 +67,45 @@ object Fielded {
       .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("field", "term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    score(fieldedTermDocs, q, fieldDict, fieldStats, model, k, boosts, tie, rounded)
+  }
 
+  /**
+   * Query a prebuilt [[graft.index.FieldedIndex]] (round-3 VERDICT
+   * next-round #1 — the scale path). Every corpus-sized input is a PRUNED
+   * scan: the posting read and the dict read both carry a
+   * `term IN (query terms)` predicate pushed to parquet (row-group min/max
+   * pruning over the term-sorted layout), and per-field stats are the
+   * prebuilt |fields|-row table. No aggregation over the corpus appears in
+   * the query plan — the plan shape FieldedSpec pins.
+   */
+  def searchIndexed(idx: graft.index.FieldedIndex.FIndex, topics: Seq[Topic],
+                    model: Scoring.Model, k: Int,
+                    boosts: Map[String, Double] = DEFAULT_BOOSTS,
+                    tie: Double = DEFAULT_TIE,
+                    tag: Analyzer.Tag = Analyzer.Tag.NoStem,
+                    rounded: Option[Int] = None): DataFrame = {
+    val spark = idx.postings.sparkSession
+    import spark.implicits._
+    val qt = Exact.queryTerms(topics, tag)
+    val q = qt.toDF("qid", "term", "mult", "nTerms")
+    val termSet = qt.map(_._2).distinct
+    score(
+      idx.postings.filter(col("term").isin(termSet: _*)),
+      q,
+      idx.dict.filter(col("term").isin(termSet: _*)),
+      idx.stats,
+      model, k, boosts, tie, rounded)
+  }
+
+  /** Shared scoring tail: per-field model score × boost → per-term
+   * DisjunctionMax → per-doc sum + minimum-should-match → top-k.
+   * `fieldDict`/`fieldStats` are bounded (≤ |query terms| × |fields| and
+   * |fields| rows) and broadcast. */
+  private def score(postings: DataFrame, q: DataFrame, fieldDict: DataFrame,
+                    fieldStats: DataFrame, model: Scoring.Model, k: Int,
+                    boosts: Map[String, Double], tie: Double,
+                    rounded: Option[Int]): DataFrame = {
     val in = Scoring.In(
       tf = col("tf").cast("double"), docLen = col("docLen").cast("double"),
       df = col("df").cast("double"), cf = col("cf").cast("double"),
@@ -70,7 +114,7 @@ object Fielded {
       when(col("field") === f, lit(b)).otherwise(acc)
     }
 
-    val perField = fieldedTermDocs
+    val perField = postings
       .join(broadcast(q), Seq("term"))
       .join(broadcast(fieldDict), Seq("field", "term"))
       .join(broadcast(fieldStats), Seq("field"))

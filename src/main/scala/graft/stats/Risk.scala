@@ -89,6 +89,55 @@ object Risk {
    * Distributed: two tiny aggregations (row sums, col sums) broadcast back
    * onto one pass over the matrix; no all-pairs, no collect.
    */
+  /**
+   * All-model-pairs significance matrix (the `Evaluator.java` pairwise
+   * facet, §2.10): for every unordered model pair (a < b) over the same
+   * per-topic metric vector, the paired-t statistic ([[pairedT]], d = b − a)
+   * and the Wilcoxon signed-rank z with continuity correction
+   * ([[wilcoxonZ]]), as ONE grouped DataFrame op — no driver loop over
+   * pairs, no collect of the matrix.
+   *
+   * Average-tie ranks of |d| come from window functions
+   * (`rank() + (tieCount − 1)/2` ≡ commons-math NaturalRanking AVERAGE);
+   * zeros keep their ranks but contribute nothing to W⁺ (NaNStrategy.FIXED
+   * semantics, as [[wilcoxonZ]]).
+   *
+   * Scale shape: the self-join shuffles on the topic column; per-pair
+   * groups are |topics|-sized. |models|²·|topics| rows total — for the
+   * reference's 13-model × 200-topic matrices this is trivially small, and
+   * at larger model zoos it stays shuffle-partitioned, never driver-side.
+   */
+  def sigMatrixDf(perQuery: DataFrame, systemCol: String, topicCol: String,
+                  valueCol: String): DataFrame = {
+    val a = perQuery.select(col(systemCol).as("model_a"), col(topicCol).as("topic"),
+      col(valueCol).cast("double").as("va"))
+    val b = perQuery.select(col(systemCol).as("model_b"), col(topicCol).as("topic"),
+      col(valueCol).cast("double").as("vb"))
+    val pairs = a.join(b, Seq("topic"))
+      .filter(col("model_a") < col("model_b"))
+      .withColumn("d", col("vb") - col("va"))
+      .withColumn("absd", abs(col("d")))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("model_a", "model_b").orderBy("absd")
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy("model_a", "model_b", "absd")
+    val ranked = pairs
+      .withColumn("minRank", rank().over(wRank))
+      .withColumn("ties", count(lit(1)).over(wTie))
+      .withColumn("avgRank", col("minRank") + (col("ties") - 1) / 2.0)
+    ranked.groupBy("model_a", "model_b")
+      .agg(
+        count(lit(1)).as("n"),
+        avg("d").as("meanD"),
+        var_samp("d").as("varD"),
+        sum(when(col("d") > 0, col("avgRank")).otherwise(0.0)).as("wPlus"))
+      .withColumn("t", col("meanD") / sqrt(col("varD") / col("n")))
+      .withColumn("es", col("n") * (col("n") + 1) / 4.0)
+      .withColumn("wz", (col("wPlus") - col("es") - 0.5)
+        / sqrt(col("es") * (lit(2.0) * col("n") + 1) / 6.0))
+      .select(col("model_a"), col("model_b"), col("n"), col("t"), col("wz"))
+  }
+
   def zriskDf(matrix: DataFrame, systemCol: String, topicCol: String,
               valueCol: String): DataFrame = {
     val v = col(valueCol).cast("double")

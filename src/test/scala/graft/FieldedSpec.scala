@@ -100,6 +100,63 @@ class FieldedSpec extends AnyFunSuite {
     }
   }
 
+  test("searchIndexed ≡ search (same scores/ranks) on a prebuilt fielded index") {
+    import spark.implicits._
+    val fd = Seq(
+      ("docA", "title", "apple", 1L, 2L),
+      ("docA", "contents", "pie", 1L, 10L),
+      ("docB", "contents", "apple", 1L, 10L),
+      ("docB", "contents", "pie", 1L, 10L),
+      ("docC", "title", "apple", 1L, 2L),
+      ("docD", "contents", "other", 3L, 10L),
+      ("docD", "title", "misc", 1L, 2L),
+      ("docE", "contents", "other", 2L, 10L),
+      ("docE", "title", "misc", 1L, 2L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fidx-test").toString
+    val idx = graft.index.FieldedIndex.build(fd, dir)
+    val topics = Seq(Topic(1, "apple pie"), Topic(2, "other"))
+    val raw = Fielded.search(fd, topics, Scoring.BM25c(0.9, 0.4), 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3))).toSet
+    val indexed = Fielded.searchIndexed(idx, topics, Scoring.BM25c(0.9, 0.4), 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3))).toSet
+    assert(indexed == raw, s"indexed path diverged:\n  raw=$raw\n  idx=$indexed")
+    // and a reload round-trips
+    val reloaded = Fielded.searchIndexed(graft.index.FieldedIndex.load(spark, dir),
+        topics, Scoring.BM25c(0.9, 0.4), 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getFloat(3))).toSet
+    assert(reloaded == raw)
+  }
+
+  test("searchIndexed plan: term-pruned scans, NO corpus aggregate (round-3 VERDICT #1)") {
+    import spark.implicits._
+    val fd = Seq(
+      ("docA", "title", "apple", 1L, 2L),
+      ("docA", "contents", "pie", 1L, 10L),
+      ("docB", "contents", "apple", 1L, 10L),
+      ("docD", "contents", "other", 3L, 10L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fidx-plan").toString
+    val idx = graft.index.FieldedIndex.build(fd, dir)
+    val df = Fielded.searchIndexed(idx, Seq(Topic(1, "apple pie")),
+      Scoring.BM25c(0.9, 0.4), 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // every file scan must carry the query-term IN predicate pushed to
+    // parquet — the postings AND dict reads are pruned, never full scans
+    val scanLines = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scanLines.size == 3, s"expected postings+dict+stats scans:\n$plan")
+    val pruned = scanLines.filter(s => s.contains("/postings") || s.contains("/dict"))
+    assert(pruned.size == 2 && pruned.forall(_.contains("In(term")),
+      s"postings/dict scans must push the term IN filter:\n${pruned.mkString("\n\n")}")
+    // the only aggregates allowed are the per-(qid,doc,term) DisMax and the
+    // per-(qid,doc) roll-up — both AFTER the pruned join, keyed by qid.
+    // A corpus-side stats/dict aggregate (groupBy field / field,term over
+    // the raw source) would show up as an extra aggregate without qid keys.
+    val aggLines = plan.linesIterator.filter(_.contains("Aggregate(keys=")).toSeq
+    assert(aggLines.nonEmpty && aggLines.forall(_.contains("qid")),
+      s"found a non-query-scoped (corpus) aggregate in the query plan:\n$plan")
+  }
+
   test("single-term query: msm(1)=1 keeps single-field matches") {
     import spark.implicits._
     val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))

@@ -52,6 +52,30 @@ class RiskSpec extends AnyFunSuite {
     approx(got(1L), 5.0 / 21.0)
   }
 
+  test("sigMatrixDf ≡ driver-side pairedT/wilcoxonZ on every model pair") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 3 models × 6 topics, with ties in |d| and a zero diff (rank-kept,
+    // W⁺-excluded) to exercise the windowed average-tie ranking
+    val ap = Map(
+      "m1" -> Seq(0.10, 0.20, 0.30, 0.40, 0.50, 0.60),
+      "m2" -> Seq(0.15, 0.25, 0.30, 0.35, 0.65, 0.55),
+      "m3" -> Seq(0.05, 0.45, 0.10, 0.40, 0.80, 0.20))
+    val rows = ap.toSeq.flatMap { case (m, vs) =>
+      vs.zipWithIndex.map { case (v, q) => (m, q, v) } }
+    val got = Risk.sigMatrixDf(rows.toDF("model", "qid", "ap"), "model", "qid", "ap")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == 3) // (m1,m2), (m1,m3), (m2,m3)
+    for (Seq(a, b) <- Seq("m1", "m2", "m3").combinations(2)) {
+      val (n, t, wz) = got((a, b))
+      assert(n == 6L)
+      approx(t, Risk.pairedT(ap(a), ap(b)))
+      // wilcoxonZ(x, y) ranks d = y − x; sigMatrixDf's d = vb − va
+      approx(wz, Risk.wilcoxonZ(ap(a), ap(b)))
+    }
+  }
+
   test("ParamTrain grids match the reference sizes (SearcherTool.java:34-37)") {
     import graft.train.ParamTrain._
     assert(cValues.size == 19 && kValues.size == 15 && bValues.size == 9 && muValues.size == 17)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.data.Transcripts
@@ -33,5 +34,73 @@ class SpamSpec extends AnyFunSuite {
       .collect().map(t => s"${t.conv_id}#${t.turn_idx}").sorted
     assert(kept.toSeq == Seq(ids(3), ids(4), ids(5)))
     assert(Spam.filterTurns(turns, scores, threshold = 0).count() == 6)
+  }
+
+  test("rocPercentile: confusion matrix matches RocTool.classify hand values") {
+    import spark.implicits._
+    // histogram: spam at percentiles {10, 10, 60}, relevant at {20, 80},
+    // non at {50}, one grade −1 row that must be IGNORED (RocTool counts
+    // only −2 / >0 / 0)
+    val labeled = Seq(
+      (1, "dA", -2, 10), (1, "dB", -2, 10), (2, "dC", -2, 60),
+      (1, "dD", 1, 20), (2, "dE", 2, 80),
+      (1, "dF", 0, 50), (2, "dG", -1, 30))
+      .toDF("qid", "docId", "grade", "percentile")
+    val got = Spam.rocPercentile(labeled, thresholds = Seq(0, 50, 70, 100))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+    // threshold 0: nothing labeled spam → tp=0 fp=0 tn=2 fn=3; guards → 0.0
+    assert(got(0) == ((0L, 2L, 0L, 3L, 0.0, 0.0, 0.0, 0.0)))
+    // threshold 50: spam{10,10} → tp=2, rel{20} → fp=1; tn=1 (rel 80), fn=1 (spam 60)
+    val (tp, tn, fp, fn, p, r, fo, f1) = got(50)
+    assert((tp, tn, fp, fn) == ((2L, 1L, 1L, 1L)))
+    assert(p == 2.0 / 3 && r == 2.0 / 3 && fo == 0.5 && f1 == 2.0 / 3)
+    // threshold 70: tp=3 fp=1 tn=1 fn=0
+    assert(got(70)._1 == 3L && got(70)._4 == 0L)
+    // threshold 100: everything spam-labeled → tn=0 fn=0, fallout=1
+    val h = got(100)
+    assert((h._1, h._2, h._3, h._4, h._5, h._6, h._7) == ((3L, 0L, 2L, 0L, 0.6, 1.0, 1.0)))
+    assert(math.abs(h._8 - 0.75) < 1e-12) // 2·0.6·1/1.6 in floating point
+  }
+
+  test("rocOdds: bin column math ≡ OddsBinning.bin; classifyOdds direction (spam ABOVE threshold)") {
+    import spark.implicits._
+    // odds chosen to hit known bins: −10.42→0, 0.0→21, 2.6→26, 15.96→52
+    val labeled = Seq(
+      (1, "dA", -2, 15.96), (1, "dB", -2, 2.6), (2, "dC", -2, -10.42),
+      (1, "dD", 1, 0.0), (2, "dE", 3, 2.6))
+      .toDF("qid", "docId", "grade", "odds")
+    // cross-check the column bin against the scalar reference implementation
+    labeled.select(col("odds"),
+        floor(lit(2.0) * col("odds") + lit(21.0)).cast("int").as("bin"))
+      .collect().foreach { r =>
+        assert(r.getInt(1) == Spam.OddsBinning.bin(r.getDouble(0)),
+          s"column bin diverges for odds ${r.getDouble(0)}") }
+    val got = Spam.rocOdds(labeled, thresholds = Seq(21, 24, 52))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // threshold 21 (bins ≤ 21 non-spam side): spam bins {52, 26, 0} → tp=2
+    // (52, 26), fn=1 (0); rel bins {21, 26} → fp=1 (26), tn=1 (21)
+    assert(got(21) == ((2L, 1L, 1L, 1L)))
+    // threshold 24: same split (next spam bin is 26)
+    assert(got(24) == ((2L, 1L, 1L, 1L)))
+    // threshold 52: nothing above → tp=0, tn=2, fp=0, fn=3
+    assert(got(52) == ((0L, 2L, 0L, 3L)))
+  }
+
+  test("rocPercentile uniq counts each docId once per class (RocTool -uniq)") {
+    import spark.implicits._
+    // dA judged spam by two queries — uniq counts it once; dD relevant twice
+    val labeled = Seq(
+      (1, "dA", -2, 10), (2, "dA", -2, 10), (1, "dB", -2, 60),
+      (1, "dD", 1, 20), (2, "dD", 2, 20))
+      .toDF("qid", "docId", "grade", "percentile")
+    val dup = Spam.rocPercentile(labeled, thresholds = Seq(50))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
+    val uq = Spam.rocPercentile(labeled, thresholds = Seq(50), uniq = true)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
+    assert(dup == ((2L, 0L, 2L, 1L)))  // every row counted
+    assert(uq == ((1L, 0L, 1L, 1L)))   // dA and dD collapse
   }
 }

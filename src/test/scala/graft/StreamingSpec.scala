@@ -315,4 +315,52 @@ class StreamingSpec extends AnyFunSuite {
     // are finalized; window [900,960) is still open → absent
     assert(rows.toSeq == Seq((0L, 1L, 3L), (60L, 1L, 2L), (480L, 1L, 1L)))
   }
+
+  test("percolation scales with MATCHING queries, not standing queries (10k topics, inverted)") {
+    import spark.implicits._
+    import graft.model.Topic
+    // 10k standing topics over a 20k-term synthetic dictionary; the incoming
+    // turn contains 3 tokens → exactly 3 (query, term) pairs can match. The
+    // per-token inverted lookup must therefore invoke the scoring kernel 3
+    // times — NOT once per standing query — which is the whole point of the
+    // term → [(query, position)] inversion (round-3 VERDICT next-round #7).
+    val nTopics = 10000
+    val topics = (0 until nTopics).map(i => Topic(i, s"t${2 * i} t${2 * i + 1}"))
+    val dict = (0 until 2 * nTopics).map(i => (s"t$i", 5L, 50L)).toDF("term", "df", "cf")
+    val stats = graft.model.CorpusStats(numDocs = 1000L, numTokens = 100000L)
+    StreamingSpec.scoreCalls.set(0L)
+    val out = Streams.topicMatches(
+      Seq(("doc1", "t0 t2 t4")).toDF("id", "text"), "id", "text",
+      topics, dict, stats, StreamingSpec.CountingBM25,
+      minScore = Double.NegativeInfinity)
+    val got = out.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // tokens t0/t2/t4 are the FIRST term of topics 0, 1, 2 respectively
+    assert(got.map(_._2).sorted.toSeq == Seq(0, 1, 2), s"wrong matches: ${got.mkString(",")}")
+    val calls = StreamingSpec.scoreCalls.get()
+    assert(calls == 3L,
+      s"scoring kernel ran $calls times for 3 matching pairs over $nTopics standing " +
+        "queries — the standing set is being scanned per document")
+    // and each score equals the single-term float-cast BM25 contribution
+    val want = graft.query.Scoring.BM25c(0.9, 0.4)
+      .score(1.0, 3L, 100.0, 1.0, 5.0, 50.0, 1000.0, 100000.0).toFloat.toDouble
+    got.foreach { case (_, _, s) => assert(s == want) }
+  }
+}
+
+object StreamingSpec {
+  /** Kernel-invocation counter for the percolation scaling assertion —
+   * local-mode executors share the JVM, so a static counter observes every
+   * task-side call. */
+  val scoreCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  object CountingBM25 extends graft.query.Scoring.Model {
+    val name = "CountingBM25"
+    private val inner = graft.query.Scoring.BM25c(0.9, 0.4)
+    def score(tf: Double, docLen: Long, avgdl: Double, kf: Double,
+              df: Double, cf: Double, n: Double, c: Double): Double = {
+      scoreCalls.incrementAndGet()
+      inner.score(tf, docLen, avgdl, kf, df, cf, n, c)
+    }
+    def expr(in: graft.query.Scoring.In): org.apache.spark.sql.Column = inner.expr(in)
+  }
 }
