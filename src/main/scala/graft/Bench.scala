@@ -51,6 +51,8 @@ object Bench {
       DriverQueries.dict(spark, sfDir)
       DriverQueries.corpusStats(spark, sfDir)
       DriverQueries.index(spark, sfDir)
+      DriverQueries.fieldedIndex(spark, sfDir, "split")
+      DriverQueries.fieldedIndex(spark, sfDir, "natural")
     } catch { case _: Throwable => -1.0 }
     // SPARK_GRAFT_SKIP: comma-separated gate names to exclude — used at
     // big synthetic scale points where a gate's TEST FIXTURE (e.g. the
@@ -71,10 +73,75 @@ object Bench {
         name -> sec
       }
 
-    // 2. index-build throughput (turns/sec) over synthetic transcripts
+    // 1b. streaming over a FILE source (round-3 VERDICT next-round #5):
+    // the st1–st4 GATES drive a driver-side MemoryStream, whose fixture
+    // cost swamps the engine at big SF (they are skipped there). This
+    // section streams the same documents corpus through a parquet file
+    // source — real executor-side reads — so streaming evidence exists at
+    // every scale point. Untimed: materialize the stream input in 8 files
+    // (2 files/trigger → 4 micro-batches).
+    val streamingFile: Seq[(String, Double)] = try {
+      val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nDocs = docsDf.count()
+      val inDir = java.nio.file.Files.createTempDirectory("graft-bench-stream-in").toString
+      docsDf.repartition(8).write.mode("overwrite").parquet(inDir)
+      val sch = docsDf.schema
+      def fileStream = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 2).parquet(inDir)
+      def runToEnd(w: org.apache.spark.sql.streaming.DataStreamWriter[_]): Double = {
+        val ck = java.nio.file.Files.createTempDirectory("graft-bench-stream-ck").toString
+        val q = w.option("checkpointLocation", ck).start()
+        val t0 = System.nanoTime()
+        try q.processAllAvailable() finally q.stop()
+        (System.nanoTime() - t0) / 1e9
+      }
+      import org.apache.spark.sql.functions.{col, concat, lit, to_timestamp}
+      val st1 = runToEnd(graft.streaming.Streams
+        .dedupByContent(fileStream, "doc_id", "text")
+        .writeStream.format("noop").outputMode("append"))
+      val st2 = runToEnd(graft.streaming.Streams
+        .windowedTokenStats(fileStream.withColumn("ts", col("doc_id").cast("timestamp")),
+          "ts", "text", "60 seconds")
+        .writeStream.format("noop").outputMode("update"))
+      val st4 = runToEnd(graft.streaming.Streams
+        .topicMatches(fileStream, "doc_id", "text", DriverQueries.topics,
+          DriverQueries.dict(spark, sfDir), DriverQueries.corpusStats(spark, sfDir),
+          Scoring.BM25c(0.9, 0.4), minScore = 0.0)
+        .writeStream.format("noop").outputMode("append"))
+      val st3 = {
+        import spark.implicits._
+        val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-stream-idx").toString
+        val turnStream = fileStream.select(
+            concat(lit("doc-"), col("doc_id").cast("string")).as("conv_id"),
+            lit(0).as("turn_idx"), lit("user").as("role"), col("text"),
+            lit(null).cast("string").as("tool"),
+            to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+          .as[graft.model.Turn]
+        runToEnd(graft.streaming.Streams.indexSink(turnStream, idxDir,
+          docsPerShard = math.max(nDocs / 32, 256), streamToken = "bench"))
+      }
+      Seq("st1_file_dedup" -> st1, "st2_file_window" -> st2,
+        "st3_file_index" -> st3, "st4_file_match" -> st4, "docs" -> nDocs.toDouble)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming-file section failed: $e")
+      Seq("failed" -> -1.0)
+    }
+
+    // 2. index-build throughput (turns/sec) over synthetic transcripts.
+    // A/B for the round-3 driver-bench regression (VERDICT r03 #2): build
+    // once with the gate-suite caches still RESIDENT (the r03 condition,
+    // 'dirty'), then release every cache + GC and build again on a quiet
+    // heap — the quiet number is the representative one (a production
+    // build job does not share its heap with a warm query suite).
     val turns = Transcripts.generate(spark, benchTurns / 8, 8)
+    val docsPerShard = math.max(benchTurns / (cpus.toInt * 4), 1000)
+    val dirtyDir = java.nio.file.Files.createTempDirectory("graft-bench-idx-dirty").toString
+    val buildSecDirty = time(IndexBuild.build(turns, dirtyDir, docsPerShard = docsPerShard, inputSorted = true))
+    DriverQueries.releaseCaches()
+    spark.catalog.clearCache()
+    System.gc()
     val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
-    val buildSec = time(IndexBuild.build(turns, idxDir, docsPerShard = math.max(benchTurns / (cpus.toInt * 4), 1000), inputSorted = true))
+    val buildSec = time(IndexBuild.build(turns, idxDir, docsPerShard = docsPerShard, inputSorted = true))
     val turnsPerSec = benchTurns / buildSec
 
     // 3. query latency p50/p95 on the built index (per topic-set run)
@@ -96,10 +163,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum + math.max(warmupSec, 0.0)
+    val streamJson = streamingFile.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,""" +
       s""""skipped":[${skip.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir",""" +
-      s""""index_build":{"turns":$benchTurns,"sec":$buildSec,"turns_per_sec":$turnsPerSec},""" +
+      s""""streaming_file":$streamJson,""" +
+      s""""index_build":{"turns":$benchTurns,"sec":$buildSec,"turns_per_sec":$turnsPerSec,"sec_dirty_heap":$buildSecDirty},""" +
       s""""bm25_topk_sec":{"exact_p50":${pct(exactLat, 0.5)},"exact_p95":${pct(exactLat, 0.95)},""" +
       s""""bmw_p50":${pct(bmwLat, 0.5)},"bmw_p95":${pct(bmwLat, 0.95)},"k":1000,"topics":${topics.size}},""" +
       s""""cpus":$cpus}"""

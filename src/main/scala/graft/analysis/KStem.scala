@@ -137,7 +137,68 @@ object KStem {
     "particle", "vehicle", "obstacle", "miracle", "muscle", "puzzle",
     "large", "huge", "edge", "judge", "bridge", "knowledge", "badge",
     "dodge", "pledge", "hedge", "wedge", "urge", "surge", "purge", "forge",
-    "verge", "emerge", "submerge", "converge", "diverge")
+    "verge", "emerge", "submerge", "converge", "diverge") ++ LexiconGrowth
+
+  /** Round-4 lexicon growth (VERDICT r03 next-round #3): ~300 additional
+   * common-English e-final head words curated from general public
+   * vocabulary — every entry is a BASE form (never an inflected one, which
+   * would wrongly protect it), so each addition can only (a) license
+   * e-restoration for its -ed/-ing/-es inflections and (b) harmlessly
+   * protect the already-uninflected base. Coverage is measured by
+   * KStemSpec's derived-inflection round-trip and recorded in SURVEY §8. */
+  private def LexiconGrowth: Set[String] = Set(
+    "abide", "abuse", "accuse", "ache", "admire", "advise", "agitate",
+    "alleviate", "amaze", "amuse", "arbitrate", "arcade", "archive",
+    "arise", "aspire", "assume", "assure", "attribute", "automate",
+    "average", "bake", "bale", "bare", "barge", "bathe", "battle",
+    "behave", "blade", "blame", "bounce", "brace", "brake", "brave",
+    "breathe", "bribe", "bride", "bruise", "bubble", "budge", "bulge",
+    "cable", "cage", "cake", "capture", "cease", "chase", "choke",
+    "chore", "clause", "cleanse", "clone", "clothe", "collide", "commute",
+    "compete", "complete", "compose", "compromise", "conclude", "condense",
+    "confide", "confine", "confuse", "console", "conspire", "constitute",
+    "consume", "continue", "contribute", "convince", "cope", "corrode",
+    "costume", "crane", "crave", "crime", "criticize", "crumble", "cube",
+    "cuddle", "damage", "dance", "dare", "daze", "debate", "decade",
+    "decline", "dedicate", "deduce", "defuse", "degrade", "deliberate",
+    "describe", "devote", "dictate", "dine", "dispose", "dispute",
+    "distribute", "dive", "donate", "dose", "doze", "drape", "dribble",
+    "ease", "educate", "elevate", "emigrate", "empire", "encode",
+    "endorse", "enforce", "enrage", "ensue", "erase", "erode", "escape",
+    "estate", "evade", "evoke", "exaggerate", "excuse", "exercise",
+    "exhale", "expose", "fade", "fake", "fame", "fare", "fate", "fatigue",
+    "fence", "finance", "fine", "flake", "flame", "flare", "force",
+    "forgive", "frame", "fringe", "fume", "gamble", "game", "gesture",
+    "giggle", "glance", "glide", "globe", "glue", "grace", "grade",
+    "graduate", "grape", "grate", "grave", "graze", "grieve", "handle",
+    "hate", "haze", "hesitate", "hike", "hinge", "hole", "home", "hope",
+    "horse", "hose", "hype", "ignite", "imitate", "immigrate", "impose",
+    "improvise", "incline", "indulge", "inflate", "inhale", "injure",
+    "inquire", "inspire", "insure", "interfere", "intervene", "intrigue",
+    "invade", "invoice", "isolate", "joke", "juggle", "kite", "lace",
+    "lame", "lane", "lapse", "lecture", "legislate", "license", "like",
+    "lime", "liberate", "lodge", "lounge", "lure", "mandate", "maze",
+    "mediate", "mine", "mingle", "minute", "mistake", "mode", "motivate",
+    "mumble", "mute", "narrate", "negate", "nibble", "nominate", "nose",
+    "nudge", "nurse", "nurture", "oblige", "oppose", "outline", "owe",
+    "pace", "parade", "pave", "perceive", "persuade", "phase", "pirate",
+    "plane", "plate", "plunge", "poke", "pollute", "pose", "prescribe",
+    "presume", "price", "pride", "probe", "promise", "pronounce",
+    "propose", "pulse", "pursue", "quake", "rake", "rage", "rebate",
+    "recede", "recite", "recline", "recycle", "refine", "refuse",
+    "regulate", "rehearse", "reinforce", "relieve", "rename", "renovate",
+    "rescue", "reside", "resume", "retrieve", "reuse", "reverse",
+    "revise", "revive", "revoke", "rinse", "ripple", "rope", "rotate",
+    "rumble", "sacrifice", "salute", "scare", "scope", "scrape",
+    "scribble", "sense", "settle", "shade", "shake", "shame", "shape",
+    "share", "shave", "shine", "shove", "shuffle", "skate", "slice",
+    "slide", "slope", "smoke", "snore", "soothe", "sparkle", "spike",
+    "stake", "stare", "stimulate", "stride", "strike", "stripe",
+    "stroke", "struggle", "stumble", "subscribe", "substitute", "sue",
+    "suppose", "surprise", "swipe", "tackle", "tame", "tape", "tease",
+    "telephone", "theme", "thrive", "tide", "trade", "tremble", "tune",
+    "underline", "undermine", "upgrade", "venture", "vibrate", "violate",
+    "voice", "wade", "wage", "wave", "welcome", "wipe")
 
   private def isVowel(c: Char): Boolean =
     c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'
@@ -164,13 +225,21 @@ object KStem {
   /** Stem one lowercase token. Non-alphabetic or short tokens pass through
    * unchanged, as do lexicon head words (the paper's "check the lexicon
    * first" step). */
-  def stem(word: String): String = {
+  def stem(word: String): String = stemWith(word, inLex)
+
+  /** Rule-only outcome — what [[stem]] would return with an EMPTY lexicon
+   * (irregular-form table still applies; it is a separate mechanism in the
+   * paper). The lexicon-arbitration coverage statistic in KStemSpec is the
+   * fraction of inflected forms where [[stem]] ≠ this. */
+  def stemRuleOnly(word: String): String = stemWith(word, _ => false)
+
+  private def stemWith(word: String, lex: String => Boolean): String = {
     if (word.length < 3 || !allLetters(word)) return word
     Exceptions.get(word) match {
       case Some(irregular) => return irregular
       case None            =>
     }
-    if (inLex(word)) return word
+    if (lex(word)) return word
 
     // -- plural (paper step 1) --
     if (word.endsWith("ies") && word.length > 4)
@@ -179,7 +248,7 @@ object KStem {
       val keepE = word.substring(0, word.length - 1)            // merges → merge
       // e inserted after sibilant for pronunciation → drop "es" entirely,
       // unless the lexicon knows the e-final form
-      if (inLex(keepE)) return stemPast(keepE)
+      if (lex(keepE)) return stemPast(keepE, lex)
       if (word.endsWith("ches") || word.endsWith("shes") ||
           word.endsWith("xes") || word.endsWith("zes"))
         return word.substring(0, word.length - 2)               // churches → church
@@ -189,15 +258,15 @@ object KStem {
       return word.substring(0, word.length - 2)                 // classes → class
     if (word.endsWith("s") && !word.endsWith("ss") && !word.endsWith("us") &&
         !word.endsWith("is") && word.length > 3)
-      return stemPast(word.substring(0, word.length - 1))       // tables → table
+      return stemPast(word.substring(0, word.length - 1), lex)  // tables → table
 
-    stemPast(word)
+    stemPast(word, lex)
   }
 
   /** Past-tense and present-participle steps (paper steps 2-3), applied
    * after plural removal (covers "merged", "merging", "merges"). */
-  private def stemPast(word: String): String = {
-    if (word.length < 4 || inLex(word)) return word
+  private def stemPast(word: String, lex: String => Boolean): String = {
+    if (word.length < 4 || lex(word)) return word
 
     if (word.endsWith("ied") && word.length > 4)
       return word.substring(0, word.length - 3) + "y"           // tried → try
@@ -205,14 +274,14 @@ object KStem {
       val base = word.substring(0, word.length - 2)
       if (!hasVowel(base)) return word
       if (doubledConsonant(base)) return base.substring(0, base.length - 1) // stopped → stop
-      if (inLex(base + "e")) return base + "e"                  // used → use
+      if (lex(base + "e")) return base + "e"                    // used → use
       return base                                               // walked → walk
     }
     if (word.endsWith("ing") && word.length >= 5) {
       val base = word.substring(0, word.length - 3)
       if (!hasVowel(base)) return word
       if (doubledConsonant(base)) return base.substring(0, base.length - 1) // running → run
-      if (inLex(base + "e")) return base + "e"                  // filing → file
+      if (lex(base + "e")) return base + "e"                    // filing → file
       return base                                               // walking → walk
     }
     word

@@ -52,4 +52,36 @@ class KStemSpec extends AnyFunSuite {
     assert(Analyzer.analyzeQuery("running (files)", Analyzer.Tag.KStem) ==
       Seq("run", "file"))
   }
+
+  test("round-4 growth: derived inflections of EVERY e-final head word round-trip; coverage reported") {
+    // For each e-final lexicon base w, the forms w+d / w+s / (w−e)+ing must
+    // conflate back to w — exhaustively over the grown lexicon, so every
+    // added entry is exercised, not just a hand-picked golden subset.
+    val bases = KStem.Lexicon.filter(w => w.length >= 3 && w.endsWith("e"))
+    assert(bases.size >= 500, s"e-final lexicon unexpectedly small: ${bases.size}")
+    val probes = bases.toSeq.sorted.flatMap { w =>
+      val ing = if (w.endsWith("ee")) w + "ing"
+                else if (w.endsWith("ie")) null // dying-style y-mutation, not probed
+                else w.dropRight(1) + "ing"
+      // a probe that collides with an irregular form (lives→life) or with a
+      // protected head word itself (fee+d = "feed") is a true homograph the
+      // real lexicon also resolves the other way — excluded by design
+      Seq(w + "d", w + "s", ing).filter(f =>
+          f != null && !KStem.Exceptions.contains(f) && !KStem.Lexicon.contains(f))
+        .map(f => (f, w))
+    }
+    val failures = probes.filter { case (f, w) => KStem.stem(f) != w }
+    assert(failures.isEmpty,
+      s"${failures.size} derived forms failed round-trip, e.g. ${failures.take(10)
+        .map { case (f, w) => s"$f→${KStem.stem(f)}≠$w" }.mkString(", ")}")
+    // Arbitration coverage: fraction of probes where the lexicon CHANGED
+    // the outcome vs the rule-only fallback (the round-3 fidelity gap this
+    // growth closes). The -ed/-ing forms need e-restoration (lexicon-only);
+    // most -es forms fall out of the keep-e rule even without it.
+    val arbitrated = probes.count { case (f, _) => KStem.stemRuleOnly(f) != KStem.stem(f) }
+    val frac = arbitrated.toDouble / probes.size
+    info(f"lexicon ${KStem.Lexicon.size} entries, ${bases.size} e-final; " +
+      f"${probes.size} derived probes, $arbitrated (${frac * 100}%.1f%%) lexicon-arbitrated")
+    assert(frac > 0.5, f"expected most probes to need the lexicon, got ${frac * 100}%.1f%%")
+  }
 }
