@@ -51,7 +51,8 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "subcommand required: index | search | stats | generate")
+    require(args.nonEmpty, "subcommand required: index | search | stats | generate | " +
+      "curate | index-fielded | search-fielded | spam-roc")
     val cmd = args.head
     val opt = parseArgs(args.tail)
 
@@ -136,6 +137,50 @@ object Main {
         curated.drop("docId").write.mode("overwrite").parquet(s"${opt("out")}/turns")
         val (in, outN) = (turns.count(), curated.count())
         println(s"""{"input_turns":$in,"curated_turns":$outN,"sec":${(System.nanoTime() - t0) / 1e9},"out":"${opt("out")}"}""")
+
+      case "index-fielded" =>
+        // per-field postings + dict + stats over the transcripts' natural
+        // fields (contents / role / tool) — the reference's one-Lucene-
+        // index-per-field mode as a prebuilt, term-pruned parquet layout
+        val turns = spark.read.parquet(opt("input")).as[Turn]
+        val t0 = System.nanoTime()
+        graft.index.FieldedIndex.build(
+          graft.index.FieldedIndex.fromTurns(turns, tag), opt("out"),
+          shards = opt.getOrElse("shards", "0").toInt)
+        println(s"""{"fielded_index":"${opt("out")}","sec":${(System.nanoTime() - t0) / 1e9}}""")
+
+      case "search-fielded" =>
+        // DisMax + minimum-should-match over a prebuilt fielded index;
+        // boosts as field:weight pairs (default the natural-field trio)
+        val fidx = graft.index.FieldedIndex.load(spark, opt("index"))
+        val topics = loadTopics(opt("topics"), opt.getOrElse("format", "tsv"))
+        val model = Scoring.parse(opt.getOrElse("model", "BM25k0.9b0.4"))
+        val boosts = opt.get("boosts")
+          .map(_.split(',').map { kv =>
+            val Array(f, w) = kv.split(':'); f -> w.toDouble
+          }.toMap)
+          .getOrElse(Map("role" -> 0.9, "tool" -> 0.7, "contents" -> 0.3))
+        val t0 = System.nanoTime()
+        val ranked = graft.query.Fielded.searchIndexed(fidx, topics, model,
+          k = opt.getOrElse("k", "1000").toInt, boosts = boosts, tag = tag)
+        opt.get("out") match {
+          case Some(out) => Trec.writeRun(ranked, model.name, out)
+          case None      => ranked.orderBy("qid", "rank").show(50, truncate = false)
+        }
+        println(s"""{"topics":${topics.size},"model":"${model.name}","sec":${(System.nanoTime() - t0) / 1e9}}""")
+
+      case "spam-roc" =>
+        // spam intrinsic evaluation (RocTool): input = parquet of judged
+        // (docId, grade, percentile[, odds]) rows; emits the per-threshold
+        // confusion/ROC table as headered CSV
+        val labeled = spark.read.parquet(opt("input"))
+        val roc = opt.getOrElse("mode", "percentile") match {
+          case "odds" => graft.eval.Spam.rocOdds(labeled, uniq = opt.contains("uniq"))
+          case _      => graft.eval.Spam.rocPercentile(labeled, uniq = opt.contains("uniq"))
+        }
+        roc.orderBy("threshold").coalesce(1)
+          .write.mode("overwrite").option("header", "true").csv(opt("out"))
+        println(s"""{"roc":"${opt("out")}","mode":"${opt.getOrElse("mode", "percentile")}"}""")
 
       case other => throw new IllegalArgumentException(s"unknown subcommand: $other")
     }

@@ -70,6 +70,34 @@ object FieldedIndex {
     load(spark, dir)
   }
 
+  /**
+   * Canonical fielded posting source over a transcripts table's NATURAL
+   * fields (the reference's field mode, `Indexer.java:413-512`, applied to
+   * the transcript schema): `contents` = the analyzed text (per-field
+   * docLen = analyzed length), `role` / `tool` = the metadata value as a
+   * single-token field (docLen 1). No shuffle until the tf groupBy —
+   * tf is computed within the row like [[Tokenize.termDocs]].
+   */
+  def fromTurns(turns: org.apache.spark.sql.Dataset[graft.model.Turn],
+                tag: graft.analysis.Analyzer.Tag = graft.analysis.Analyzer.Tag.NoStem): DataFrame = {
+    val tfm = Tokenize.tfMapUdf(tag)
+    val base = turns.toDF()
+      .withColumn("docId", concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")))
+    val contents = base
+      .withColumn("tfMap", tfm(col("text")))
+      .withColumn("docLen", aggregate(map_values(col("tfMap")), lit(0L), (acc, x) => acc + x))
+      .select(col("docId"), lit("contents").as("field"),
+        explode(col("tfMap")).as(Seq("term", "tf")), col("docLen"))
+      .select("docId", "field", "term", "tf", "docLen")
+    val meta = base
+      .select(col("docId"), lit("role").as("field"), col("role").as("term"),
+        lit(1L).as("tf"), lit(1L).as("docLen"))
+      .unionByName(base.filter(col("tool").isNotNull)
+        .select(col("docId"), lit("tool").as("field"), col("tool").as("term"),
+          lit(1L).as("tf"), lit(1L).as("docLen")))
+    contents.unionByName(meta)
+  }
+
   def exists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(s"$dir/stats/_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -157,6 +157,33 @@ class FieldedSpec extends AnyFunSuite {
       s"found a non-query-scoped (corpus) aggregate in the query plan:\n$plan")
   }
 
+  test("FieldedIndex.fromTurns: natural transcript fields (contents/role/tool) through build + searchIndexed") {
+    import org.apache.spark.sql.functions._
+    val turns = graft.data.Transcripts.generate(spark, 30, 6, seed = 3L, partitions = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fidx-turns").toString
+    val idx = graft.index.FieldedIndex.build(
+      graft.index.FieldedIndex.fromTurns(turns), dir)
+    // field composition: contents carries analyzed doclens; role/tool are
+    // one-token fields with docLen 1
+    val stats = idx.stats.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == Set("contents", "role", "tool"))
+    val got = Fielded.searchIndexed(idx, Seq(Topic(1, "bash w0")),
+        Scoring.BM25c(0.9, 0.4), k = 20,
+        boosts = Map("role" -> 0.9, "tool" -> 0.7, "contents" -> 0.3))
+      .collect().map(_.getString(1))
+    assert(got.nonEmpty, "tool-field term + content term must retrieve")
+    // every hit matched BOTH terms (msm(2) = 2): tool=bash AND text has w0.
+    // NOTE fromTurns analyzes contents (Analyzer), so verify against the
+    // analyzed token list, not a raw split
+    val turnsById = turns.collect().map(t => s"${t.conv_id}#${t.turn_idx}" -> t).toMap
+    got.foreach { id =>
+      val t = turnsById(id)
+      assert(t.tool == "bash", s"$id matched without tool=bash")
+      assert(graft.analysis.Analyzer.analyze(t.text, graft.analysis.Analyzer.Tag.NoStem)
+        .contains("w0"), s"$id matched without w0 in analyzed text")
+    }
+  }
+
   test("single-term query: msm(1)=1 keeps single-field matches") {
     import spark.implicits._
     val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))
