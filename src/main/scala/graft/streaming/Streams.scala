@@ -73,9 +73,12 @@ object Streams {
    * against a STANDING query set — the reference's searcher inverted
    * (queries fixed, documents flow). Corpus statistics (df/cf/N/C) come
    * from a static index of the standing corpus the stream augments; the
-   * per-(topic, term) stats are resolved once on the driver and broadcast
-   * in the closure, so each micro-batch is a stateless MAP — no shuffle,
-   * no state store, append mode, scales linearly with the stream.
+   * per-(topic, term) stats are resolved once on the driver, INVERTED to
+   * a term → [(query, position)] map (per-token work is O(queries
+   * containing the token)) and torrent-broadcast to executors, so each
+   * micro-batch is a stateless MAP — no shuffle, no state store, append
+   * mode, scales linearly with the stream and sub-linearly with the
+   * standing-query count.
    *
    * Scoring semantics match [[graft.query.Exact]]: OR-sum of per-term
    * model scores over the turn's own tf/doclen, duplicate query terms
@@ -114,10 +117,16 @@ object Streams {
       qids.zipWithIndex.flatMap { case (q, qi) =>
         byQid(q).zipWithIndex.map { case ((t, _, _, _), pos) => (t, qi, pos) }
       }.groupBy(_._1).map { case (t, rows) => t -> rows.map(r => (r._2, r._3)) }
+    // Torrent-broadcast the standing-query structures instead of capturing
+    // them raw in the UDF closure: a closure is shipped inside EVERY task
+    // binary, a broadcast once per executor — the difference between ~10³
+    // and ~10⁶ standing topics on a wide cluster.
+    val bQ = spark.sparkContext.broadcast((qids, qTermMeta, inverted))
     val n = stats.numDocs.toDouble
     val c = stats.numTokens.toDouble
     val avgdl = c / n
     val matcher = udf { (text: String) =>
+      val (qidsB, metaB, invB) = bQ.value
       val toks = Analyzer.analyze(text, tag)
       val dl = toks.size.toLong
       if (dl == 0L) Seq.empty[(Int, Double)]
@@ -129,11 +138,11 @@ object Streams {
         val it = tf.entrySet().iterator()
         while (it.hasNext) {
           val e = it.next()
-          inverted.get(e.getKey).foreach(_.foreach { case (qi, pos) =>
-            val (mult, dfv, cfv) = qTermMeta(qi)(pos)
+          invB.get(e.getKey).foreach(_.foreach { case (qi, pos) =>
+            val (mult, dfv, cfv) = metaB(qi)(pos)
             val perTerm = model.score(e.getValue.toDouble, dl, avgdl, 1.0,
               dfv.toDouble, cfv.toDouble, n, c)
-            slots.computeIfAbsent(qi, _ => new Array[Double](qTermMeta(qi).length))(pos) =
+            slots.computeIfAbsent(qi, _ => new Array[Double](metaB(qi).length))(pos) =
               (if (floatBoundary) perTerm.toFloat.toDouble else perTerm) * mult
           })
         }
@@ -142,7 +151,7 @@ object Streams {
           var s = 0.0
           var i = 0
           while (i < arr.length) { s += arr(i); i += 1 }
-          if (s >= minScore) out += ((qids(qi), s))
+          if (s >= minScore) out += ((qidsB(qi), s))
         }
         out.result()
       }
