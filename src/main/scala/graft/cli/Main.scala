@@ -26,7 +26,7 @@ object Main {
   /** Bare flags are mapped to "true" under their stripped key FIRST, then the
    * remaining args pair up key/value — so a flag never swallows the next
    * option (`index --input X --sorted --out Y` keeps both sorted and out). */
-  private val FLAGS = Set("--sorted")
+  private val FLAGS = Set("--sorted", "--uniq")
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val (flags, kvs) = args.partition(FLAGS.contains)
     require(kvs.length % 2 == 0, s"dangling option in: ${kvs.mkString(" ")}")
@@ -152,6 +152,8 @@ object Main {
       case "search-fielded" =>
         // DisMax + minimum-should-match over a prebuilt fielded index;
         // boosts as field:weight pairs (default the natural-field trio)
+        require(graft.index.FieldedIndex.exists(spark, opt("index")),
+          s"no fielded index at ${opt("index")} — build one with index-fielded")
         val fidx = graft.index.FieldedIndex.load(spark, opt("index"))
         val topics = loadTopics(opt("topics"), opt.getOrElse("format", "tsv"))
         val model = Scoring.parse(opt.getOrElse("model", "BM25k0.9b0.4"))

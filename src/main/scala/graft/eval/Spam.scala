@@ -28,12 +28,12 @@ import graft.model.Turn
  */
 object Spam {
 
-  /** Grade → class, `RocTool.distribution:344-362`: −2 spam, >0 relevant,
-   * 0 non-relevant (−1 "junk" rows fall through uncounted). */
+  /** Grade → class, `RocTool.distribution:344-362`: −2 spam, >0 relevant
+   * (0 non-relevant and −1 "junk" rows fall through uncounted — the
+   * confusion matrix reads only the spam/relevant histograms). */
   private def classCols(grade: org.apache.spark.sql.Column) = (
     when(grade === -2, 1L).otherwise(0L),
-    when(grade > 0, 1L).otherwise(0L),
-    when(grade === 0, 1L).otherwise(0L))
+    when(grade > 0, 1L).otherwise(0L))
 
   private def confusionMetrics(df: DataFrame): DataFrame = {
     val tpfp = col("tp") + col("fp")
@@ -65,16 +65,15 @@ object Spam {
                     uniq: Boolean = false): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    val (isSpam, isRel, isNon) = classCols(col("grade"))
+    val (isSpam, isRel) = classCols(col("grade"))
     val hist =
       if (uniq)
         labeled.groupBy("percentile").agg(
           countDistinct(when(col("grade") === -2, col("docId"))).as("spam"),
-          countDistinct(when(col("grade") > 0, col("docId"))).as("relevant"),
-          countDistinct(when(col("grade") === 0, col("docId"))).as("non"))
+          countDistinct(when(col("grade") > 0, col("docId"))).as("relevant"))
       else
         labeled.groupBy("percentile").agg(
-          sum(isSpam).as("spam"), sum(isRel).as("relevant"), sum(isNon).as("non"))
+          sum(isSpam).as("spam"), sum(isRel).as("relevant"))
     val th = thresholds.toDF("threshold")
     val below = col("percentile") < col("threshold")
     confusionMetrics(
@@ -97,15 +96,20 @@ object Spam {
               uniq: Boolean = false): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
+    // fail fast on odds outside the valid Fusion range, like the scalar
+    // OddsBinning.bin (a silent phantom bin would skew every threshold)
+    val oddsD = col("odds").cast("double")
     val binned = labeled.withColumn("bin",
-      floor(lit(2.0) * col("odds").cast("double") + lit(21.0)).cast("int"))
+      when(oddsD >= OddsBinning.ValidMin && oddsD <= OddsBinning.ValidMax,
+          floor(lit(2.0) * oddsD + lit(21.0)).cast("int"))
+        .otherwise(raise_error(concat(lit("odds ratio is invalid "), oddsD.cast("string")))))
     val hist =
       if (uniq)
         binned.groupBy("bin").agg(
           countDistinct(when(col("grade") === -2, col("docId"))).as("spam"),
           countDistinct(when(col("grade") > 0, col("docId"))).as("relevant"))
       else {
-        val (isSpam, isRel, _) = classCols(col("grade"))
+        val (isSpam, isRel) = classCols(col("grade"))
         binned.groupBy("bin").agg(sum(isSpam).as("spam"), sum(isRel).as("relevant"))
       }
     val th = thresholds.toDF("threshold")

@@ -58,12 +58,18 @@ object FieldedIndex {
       .repartitionByRange(parts, col("term"), col("field"), col("docId"))
       .sortWithinPartitions("term", "field", "docId")
       .write.mode("overwrite").parquet(s"$dir/postings")
-    fielded.groupBy("field", "term")
+    // dict/stats derive from the just-written postings, NOT the source
+    // lineage: the source is typically a full tokenize+explode pipeline
+    // whose re-evaluation would cost a corpus pass each — the read-back is
+    // a column-pruned columnar scan of exactly the rows the postings hold
+    // (identical semantics: one posting row per (doc, field, term)).
+    val written = spark.read.parquet(s"$dir/postings")
+    written.groupBy("field", "term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .repartitionByRange(math.max(1, parts / 4), col("term"))
       .sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$dir/dict")
-    fielded.groupBy("field")
+    written.groupBy("field")
       .agg(countDistinct("docId").as("fN"), sum("tf").as("fC"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/stats")

@@ -89,6 +89,18 @@ class SpamSpec extends AnyFunSuite {
     assert(got(52) == ((0L, 2L, 0L, 3L)))
   }
 
+  test("rocOdds fails fast on odds outside the valid Fusion range (like OddsBinning.bin)") {
+    import spark.implicits._
+    val labeled = Seq((1, "dA", -2, 18.3)).toDF("qid", "docId", "grade", "odds")
+    val e = intercept[Exception] {
+      Spam.rocOdds(labeled, thresholds = Seq(21)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("odds ratio is invalid")),
+      s"expected the invalid-odds error, got: $e")
+  }
+
   test("rocPercentile uniq counts each docId once per class (RocTool -uniq)") {
     import spark.implicits._
     // dA judged spam by two queries — uniq counts it once; dD relevant twice
