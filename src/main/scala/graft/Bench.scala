@@ -80,16 +80,33 @@ object Bench {
     // source — real executor-side reads — so streaming evidence exists at
     // every scale point. Untimed: materialize the stream input in 8 files
     // (2 files/trigger → 4 micro-batches).
+    // every temp dir this run creates is removed at the end — a loop of
+    // bench runs at sf10 otherwise fills the disk with corpus copies and
+    // later legs die with ENOSPC hidden by piped output
+    val tmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def tmpDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tmpDirs += d
+      d
+    }
+    def rmAll(): Unit = tmpDirs.foreach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => }
+    }
+
     val streamingFile: Seq[(String, Double)] = try {
       val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
       val nDocs = docsDf.count()
-      val inDir = java.nio.file.Files.createTempDirectory("graft-bench-stream-in").toString
+      val inDir = tmpDir("graft-bench-stream-in")
       docsDf.repartition(8).write.mode("overwrite").parquet(inDir)
       val sch = docsDf.schema
       def fileStream = spark.readStream.schema(sch)
         .option("maxFilesPerTrigger", 2).parquet(inDir)
       def runToEnd(w: org.apache.spark.sql.streaming.DataStreamWriter[_]): Double = {
-        val ck = java.nio.file.Files.createTempDirectory("graft-bench-stream-ck").toString
+        val ck = tmpDir("graft-bench-stream-ck")
         val q = w.option("checkpointLocation", ck).start()
         val t0 = System.nanoTime()
         try q.processAllAvailable() finally q.stop()
@@ -110,7 +127,7 @@ object Bench {
         .writeStream.format("noop").outputMode("append"))
       val st3 = {
         import spark.implicits._
-        val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-stream-idx").toString
+        val idxDir = tmpDir("graft-bench-stream-idx")
         val turnStream = fileStream.select(
             concat(lit("doc-"), col("doc_id").cast("string")).as("conv_id"),
             lit(0).as("turn_idx"), lit("user").as("role"), col("text"),
@@ -135,12 +152,16 @@ object Bench {
     // build job does not share its heap with a warm query suite).
     val turns = Transcripts.generate(spark, benchTurns / 8, 8)
     val docsPerShard = math.max(benchTurns / (cpus.toInt * 4), 1000)
-    val dirtyDir = java.nio.file.Files.createTempDirectory("graft-bench-idx-dirty").toString
+    // throwaway first build (untimed): codegen compilation for this exact
+    // plan + page-cache warmup are one-time effects that would otherwise
+    // accrue entirely to whichever A/B leg runs first, conflating cache
+    // residency with first-run warmup
+    IndexBuild.build(turns, tmpDir("graft-bench-idx-warm"), docsPerShard = docsPerShard, inputSorted = true)
+    val dirtyDir = tmpDir("graft-bench-idx-dirty")
     val buildSecDirty = time(IndexBuild.build(turns, dirtyDir, docsPerShard = docsPerShard, inputSorted = true))
-    DriverQueries.releaseCaches()
-    spark.catalog.clearCache()
+    DriverQueries.releaseCaches(spark)
     System.gc()
-    val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
+    val idxDir = tmpDir("graft-bench-idx")
     val buildSec = time(IndexBuild.build(turns, idxDir, docsPerShard = docsPerShard, inputSorted = true))
     val turnsPerSec = benchTurns / buildSec
 
@@ -160,6 +181,7 @@ object Bench {
       BlockMaxWand.search(index, topics, model, 1000).count()
     }).sorted
     termDocs.unpersist()
+    rmAll() // every temp dir of this run (stream input/checkpoints, A/B + latency indexes)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum + math.max(warmupSec, 0.0)

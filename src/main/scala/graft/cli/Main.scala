@@ -157,11 +157,20 @@ object Main {
         val fidx = graft.index.FieldedIndex.load(spark, opt("index"))
         val topics = loadTopics(opt("topics"), opt.getOrElse("format", "tsv"))
         val model = Scoring.parse(opt.getOrElse("model", "BM25k0.9b0.4"))
-        val boosts = opt.get("boosts")
+        // defaults merged UNDER the user's pairs: a partial --boosts list
+        // overrides only the named fields (an unlisted field would
+        // otherwise score 0 — it still satisfies minimum-should-match but
+        // contributes nothing, a silently degenerate ranking)
+        val defaultBoosts = Map("role" -> 0.9, "tool" -> 0.7, "contents" -> 0.3)
+        val boosts = defaultBoosts ++ opt.get("boosts")
           .map(_.split(',').map { kv =>
-            val Array(f, w) = kv.split(':'); f -> w.toDouble
+            kv.split(':') match {
+              case Array(f, w) => f -> w.toDouble
+              case _ => throw new IllegalArgumentException(
+                s"malformed --boosts entry '$kv' (expected field:weight, e.g. role:0.9,contents:0.3)")
+            }
           }.toMap)
-          .getOrElse(Map("role" -> 0.9, "tool" -> 0.7, "contents" -> 0.3))
+          .getOrElse(Map.empty)
         val t0 = System.nanoTime()
         val ranked = graft.query.Fielded.searchIndexed(fidx, topics, model,
           k = opt.getOrElse("k", "1000").toInt, boosts = boosts, tag = tag)

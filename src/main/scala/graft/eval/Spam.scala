@@ -28,12 +28,29 @@ import graft.model.Turn
  */
 object Spam {
 
-  /** Grade → class, `RocTool.distribution:344-362`: −2 spam, >0 relevant
+  /** Per-bucket (spam, relevant) class histogram.
+   * Grade → class per `RocTool.distribution:344-362`: −2 spam, >0 relevant
    * (0 non-relevant and −1 "junk" rows fall through uncounted — the
-   * confusion matrix reads only the spam/relevant histograms). */
-  private def classCols(grade: org.apache.spark.sql.Column) = (
-    when(grade === -2, 1L).otherwise(0L),
-    when(grade > 0, 1L).otherwise(0L))
+   * confusion matrix reads only the spam/relevant histograms).
+   *
+   * uniq ≡ the reference's `-uniq` seen-set (`RocTool.increment:373-381`):
+   * each docId counts ONCE PER CLASS — globally, not once per bucket; a
+   * docId judged at two different scores must not land in two buckets
+   * (double-count under one threshold, e.g. tp AND fn at once). The
+   * reference keeps the file-order first occurrence; the deterministic
+   * DataFrame equivalent is min(bucket) per (docId, class). */
+  private def classHistogram(labeled: DataFrame, bucket: org.apache.spark.sql.Column,
+                             uniq: Boolean): DataFrame = {
+    val base = labeled.select(col("docId"), bucket,
+      when(col("grade") === -2, "spam").when(col("grade") > 0, "relevant").as("cls"))
+      .filter(col("cls").isNotNull)
+    val rows =
+      if (uniq) base.groupBy("docId", "cls").agg(min("bucket").as("bucket"))
+      else base
+    rows.groupBy("bucket").agg(
+      sum(when(col("cls") === "spam", 1L).otherwise(0L)).as("spam"),
+      sum(when(col("cls") === "relevant", 1L).otherwise(0L)).as("relevant"))
+  }
 
   private def confusionMetrics(df: DataFrame): DataFrame = {
     val tpfp = col("tp") + col("fp")
@@ -65,15 +82,8 @@ object Spam {
                     uniq: Boolean = false): DataFrame = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    val (isSpam, isRel) = classCols(col("grade"))
-    val hist =
-      if (uniq)
-        labeled.groupBy("percentile").agg(
-          countDistinct(when(col("grade") === -2, col("docId"))).as("spam"),
-          countDistinct(when(col("grade") > 0, col("docId"))).as("relevant"))
-      else
-        labeled.groupBy("percentile").agg(
-          sum(isSpam).as("spam"), sum(isRel).as("relevant"))
+    val hist = classHistogram(labeled, col("percentile").as("bucket"), uniq)
+      .withColumnRenamed("bucket", "percentile")
     val th = thresholds.toDF("threshold")
     val below = col("percentile") < col("threshold")
     confusionMetrics(
@@ -99,19 +109,12 @@ object Spam {
     // fail fast on odds outside the valid Fusion range, like the scalar
     // OddsBinning.bin (a silent phantom bin would skew every threshold)
     val oddsD = col("odds").cast("double")
-    val binned = labeled.withColumn("bin",
+    val binCol =
       when(oddsD >= OddsBinning.ValidMin && oddsD <= OddsBinning.ValidMax,
           floor(lit(2.0) * oddsD + lit(21.0)).cast("int"))
-        .otherwise(raise_error(concat(lit("odds ratio is invalid "), oddsD.cast("string")))))
-    val hist =
-      if (uniq)
-        binned.groupBy("bin").agg(
-          countDistinct(when(col("grade") === -2, col("docId"))).as("spam"),
-          countDistinct(when(col("grade") > 0, col("docId"))).as("relevant"))
-      else {
-        val (isSpam, isRel) = classCols(col("grade"))
-        binned.groupBy("bin").agg(sum(isSpam).as("spam"), sum(isRel).as("relevant"))
-      }
+        .otherwise(raise_error(concat(lit("odds ratio is invalid "), oddsD.cast("string"))))
+    val hist = classHistogram(labeled, binCol.as("bucket"), uniq)
+      .withColumnRenamed("bucket", "bin")
     val th = thresholds.toDF("threshold")
     val above = col("bin") > col("threshold")
     confusionMetrics(

@@ -117,16 +117,26 @@ object Streams {
       qids.zipWithIndex.flatMap { case (q, qi) =>
         byQid(q).zipWithIndex.map { case ((t, _, _, _), pos) => (t, qi, pos) }
       }.groupBy(_._1).map { case (t, rows) => t -> rows.map(r => (r._2, r._3)) }
-    // Torrent-broadcast the standing-query structures instead of capturing
-    // them raw in the UDF closure: a closure is shipped inside EVERY task
-    // binary, a broadcast once per executor — the difference between ~10³
-    // and ~10⁶ standing topics on a wide cluster.
-    val bQ = spark.sparkContext.broadcast((qids, qTermMeta, inverted))
+    // Shipping the standing-query structures: small sets ride in the task
+    // closure (an ad-hoc topicMatches call must not pin a session-lifetime
+    // broadcast — broadcasts are only freed at session end); large sets go
+    // as ONE torrent broadcast (a closure is inside every task binary, a
+    // broadcast lands once per executor — the difference between ~10³ and
+    // ~10⁶ standing topics on a wide cluster, and a standing set that big
+    // belongs to a long-lived percolation query whose lifetime IS the
+    // session's).
+    val payload = (qids, qTermMeta, inverted)
+    val bQ: () => (Array[Int], Array[Array[(Int, Long, Long)]], Map[String, Array[(Int, Int)]]) =
+      if (inverted.size < 1024) () => payload
+      else {
+        val b = spark.sparkContext.broadcast(payload)
+        () => b.value
+      }
     val n = stats.numDocs.toDouble
     val c = stats.numTokens.toDouble
     val avgdl = c / n
     val matcher = udf { (text: String) =>
-      val (qidsB, metaB, invB) = bQ.value
+      val (qidsB, metaB, invB) = bQ()
       val toks = Analyzer.analyze(text, tag)
       val dl = toks.size.toLong
       if (dl == 0L) Seq.empty[(Int, Double)]

@@ -103,16 +103,21 @@ class SpamSpec extends AnyFunSuite {
 
   test("rocPercentile uniq counts each docId once per class (RocTool -uniq)") {
     import spark.implicits._
-    // dA judged spam by two queries — uniq counts it once; dD relevant twice
+    // dA judged spam by two queries — uniq counts it once; dD relevant
+    // twice; dE judged spam at TWO DIFFERENT percentiles (30 and 70,
+    // straddling the threshold) — uniq must place it in ONE bucket
+    // (min percentile, the deterministic stand-in for the reference's
+    // file-order seen-set), never as tp AND fn simultaneously
     val labeled = Seq(
       (1, "dA", -2, 10), (2, "dA", -2, 10), (1, "dB", -2, 60),
-      (1, "dD", 1, 20), (2, "dD", 2, 20))
+      (1, "dD", 1, 20), (2, "dD", 2, 20),
+      (1, "dE", -2, 30), (2, "dE", -2, 70))
       .toDF("qid", "docId", "grade", "percentile")
     val dup = Spam.rocPercentile(labeled, thresholds = Seq(50))
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
     val uq = Spam.rocPercentile(labeled, thresholds = Seq(50), uniq = true)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).head
-    assert(dup == ((2L, 0L, 2L, 1L)))  // every row counted
-    assert(uq == ((1L, 0L, 1L, 1L)))   // dA and dD collapse
+    assert(dup == ((3L, 0L, 2L, 2L)))  // every row counted; dE is tp AND fn
+    assert(uq == ((2L, 0L, 1L, 1L)))   // dA/dD collapse; dE once, at min=30 → tp only
   }
 }
