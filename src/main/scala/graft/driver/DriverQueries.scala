@@ -2143,6 +2143,26 @@ object DriverQueries {
         |  $confusionSql
         |FROM cm""".stripMargin)),
 
+    // JH1 — judgement-coverage histogram per model over the sweep's top-10
+    // (`cmdline/JudgeTool.java:120-152` radix counts): unjudged / spam /
+    // grade-0..4 counts of retrieved docs — the run-pool coverage analytic.
+    Spec("jh1_judge_histogram",
+      (s, d) => graft.eval.Metrics.judgeHistogram(
+        sweepRunsCached(s, d), qrelsDf(s, d), k = 10),
+      Some(s"""WITH $CTES,
+        |$sweepPqSql
+        |SELECT r.model AS model,
+        |  CAST(sum(CASE WHEN qr.judge IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unjudged,
+        |  CAST(sum(CASE WHEN qr.judge = -2 THEN 1 ELSE 0 END) AS BIGINT) AS spam,
+        |  CAST(sum(CASE WHEN qr.judge = 0 THEN 1 ELSE 0 END) AS BIGINT) AS g0,
+        |  CAST(sum(CASE WHEN qr.judge = 1 THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+        |  CAST(sum(CASE WHEN qr.judge = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
+        |  CAST(sum(CASE WHEN qr.judge = 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
+        |  CAST(sum(CASE WHEN qr.judge = 4 THEN 1 ELSE 0 END) AS BIGINT) AS g4
+        |FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.docid = qr.docid
+        |WHERE r.rank <= 10
+        |GROUP BY r.model""".stripMargin)),
+
     // Z2 — all-model-pairs significance matrix (the Evaluator.java pairwise
     // facet) over the p1 sweep's per-(model, qid) AP: paired-t + Wilcoxon
     // signed-rank z per unordered pair, as one grouped DataFrame op with

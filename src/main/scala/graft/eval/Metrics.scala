@@ -170,4 +170,28 @@ object Metrics {
       .filter(col("newRank") <= k)
       .select(col("qid"), col("docId"), col("newRank").as("rank"), col("score"))
   }
+
+  /** Judgement-coverage histogram per model (`cmdline/JudgeTool.java:120-152`
+   * radix counts): over each model's top-k, how many retrieved docs are
+   * unjudged, spam-graded (−2), or graded 0..4 — the run-pool coverage
+   * analytic behind the reference's judged@k tables. One left join + one
+   * grouped aggregation; never per-row driver work.
+   *
+   * @param runs (model, qid, docId, rank) ranked runs (e.g. a ParamTrain
+   *   sweep); rank ≤ k rows are counted
+   */
+  def judgeHistogram(runs: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    def cnt(cond: org.apache.spark.sql.Column) = sum(when(cond, 1L).otherwise(0L))
+    runs.filter(col("rank") <= k)
+      .join(qrels.select("qid", "docId", "judge"), Seq("qid", "docId"), "left")
+      .groupBy("model")
+      .agg(
+        cnt(col("judge").isNull).as("unjudged"),
+        cnt(col("judge") === -2).as("spam"),
+        cnt(col("judge") === 0).as("g0"),
+        cnt(col("judge") === 1).as("g1"),
+        cnt(col("judge") === 2).as("g2"),
+        cnt(col("judge") === 3).as("g3"),
+        cnt(col("judge") === 4).as("g4"))
+  }
 }

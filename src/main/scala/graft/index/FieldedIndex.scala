@@ -49,30 +49,43 @@ object FieldedIndex {
    *   at cluster scale size this so a shard's row groups stay within
    *   `files.maxPartitionBytes`
    */
+  private def stageDone(spark: SparkSession, stageDir: String): Boolean = {
+    val p = new Path(s"$stageDir/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Build is RESUMABLE at stage granularity (north rule, like
+   * [[IndexBuild]]): each of the three stage dirs commits atomically
+   * (job-level `_SUCCESS`) and a restart skips committed stages — a crash
+   * between postings and dict re-runs only the cheap read-back
+   * aggregations, never the corpus pass. */
   def build(fielded: DataFrame, dir: String, shards: Int = 0): FIndex = {
     val spark = fielded.sparkSession
     val parts = if (shards > 0) shards
                 else math.max(1, spark.sessionState.conf.numShufflePartitions)
-    fielded
-      .select("docId", "field", "term", "tf", "docLen")
-      .repartitionByRange(parts, col("term"), col("field"), col("docId"))
-      .sortWithinPartitions("term", "field", "docId")
-      .write.mode("overwrite").parquet(s"$dir/postings")
+    if (!stageDone(spark, s"$dir/postings"))
+      fielded
+        .select("docId", "field", "term", "tf", "docLen")
+        .repartitionByRange(parts, col("term"), col("field"), col("docId"))
+        .sortWithinPartitions("term", "field", "docId")
+        .write.mode("overwrite").parquet(s"$dir/postings")
     // dict/stats derive from the just-written postings, NOT the source
     // lineage: the source is typically a full tokenize+explode pipeline
     // whose re-evaluation would cost a corpus pass each — the read-back is
     // a column-pruned columnar scan of exactly the rows the postings hold
     // (identical semantics: one posting row per (doc, field, term)).
     val written = spark.read.parquet(s"$dir/postings")
-    written.groupBy("field", "term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-      .repartitionByRange(math.max(1, parts / 4), col("term"))
-      .sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$dir/dict")
-    written.groupBy("field")
-      .agg(countDistinct("docId").as("fN"), sum("tf").as("fC"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+    if (!stageDone(spark, s"$dir/dict"))
+      written.groupBy("field", "term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+        .repartitionByRange(math.max(1, parts / 4), col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$dir/dict")
+    if (!stageDone(spark, s"$dir/stats"))
+      written.groupBy("field")
+        .agg(countDistinct("docId").as("fN"), sum("tf").as("fC"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/stats")
     load(spark, dir)
   }
 

@@ -184,6 +184,33 @@ class FieldedSpec extends AnyFunSuite {
     }
   }
 
+  test("FieldedIndex.build resumes: committed stages are skipped; a missing stage is repaired") {
+    import spark.implicits._
+    val fd = Seq(
+      ("docA", "title", "apple", 1L, 2L),
+      ("docB", "contents", "apple", 2L, 10L),
+      ("docB", "contents", "pie", 1L, 10L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fidx-resume").toString
+    graft.index.FieldedIndex.build(fd, dir)
+    // simulate a crash after postings but before dict/stats committed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/dict"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/stats"), true)
+    // record the postings files; the resume must NOT rewrite them
+    def postingFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+      .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = postingFiles
+    val idx = graft.index.FieldedIndex.build(fd, dir)
+    assert(postingFiles == before, "resume must skip the committed postings stage")
+    val dict = idx.dict.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(dict == Set(("title", "apple", 1L, 1L), ("contents", "apple", 1L, 2L),
+      ("contents", "pie", 1L, 1L)))
+    val stats = idx.stats.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats == Set(("title", 1L, 1L), ("contents", 1L, 3L)))
+  }
+
   test("single-term query: msm(1)=1 keeps single-field matches") {
     import spark.implicits._
     val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))

@@ -102,4 +102,21 @@ class MetricsSpec extends AnyFunSuite {
       .collect().map(_.getString(1))
     assert(rr.toSeq == Seq("b", "a"))
   }
+
+  test("judgeHistogram radix counts per model (JudgeTool.java:120-152)") {
+    import spark.implicits._
+    // m1 top-3: d1 graded 2, d2 spam (−2), d3 unjudged; d4 (graded 1) is
+    // rank 4 → cut by k. m2 top-3: d1 graded 2, d5 graded 4, d6 unjudged.
+    val runs = Seq(
+      ("m1", 1, "d1", 1), ("m1", 1, "d2", 2), ("m1", 1, "d3", 3), ("m1", 1, "d4", 4),
+      ("m2", 1, "d1", 1), ("m2", 1, "d5", 2), ("m2", 1, "d6", 3))
+      .toDF("model", "qid", "docId", "rank")
+    val qrels = Seq((1, "d1", 2), (1, "d2", -2), (1, "d4", 1), (1, "d5", 4))
+      .toDF("qid", "docId", "judge")
+    // columns: model, unjudged, spam, g0, g1, g2, g3, g4
+    val got = Metrics.judgeHistogram(runs, qrels, k = 3)
+      .collect().map(r => r.getString(0) -> (1 to 7).map(r.getLong)).toMap
+    assert(got("m1") == Seq(1L, 1L, 0L, 0L, 1L, 0L, 0L)) // d3 unjudged, d2 spam, d1 g2
+    assert(got("m2") == Seq(1L, 0L, 0L, 0L, 1L, 0L, 1L)) // d6 unjudged, d1 g2, d5 g4
+  }
 }
