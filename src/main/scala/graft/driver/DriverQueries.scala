@@ -2074,6 +2074,14 @@ object DriverQueries {
         ((col("doc_id") % 52) * 0.5 - 10.0).as("odds"))
   }
 
+  /** The standard English stop set (Lucene `ENGLISH_STOP_WORDS_SET` — the
+   * classic public 33-word Smart/Fox subset the reference defaults to). */
+  private val englishStopWords: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
   private val rocLabeledSqlCte =
     s"""lab AS (SELECT q.qid AS qid, d.doc_id AS doc_id,
        |  CAST((d.doc_id + q.qid) % 5 - 2 AS INT) AS grade,
@@ -2142,6 +2150,24 @@ object DriverQueries {
         |SELECT threshold, tp, tn, fp, fn,
         |  $confusionSql
         |FROM cm""".stripMargin)),
+
+    // SW1 — stop-word distribution analysis (`cmdline/StopWordTool.java:
+    // 49-86`): the A4 LengthNormalized histogram restricted to the standard
+    // English stop set (the reference falls back to Lucene's
+    // ENGLISH_STOP_WORDS_SET) — A7 as an explicit first-class gate.
+    Spec("sw1_stopword_histogram",
+      (s, d) => {
+        val v = floor(col("tf").cast("double") / col("docLen").cast("double") * 10)
+        termDocs(s, d).filter(col("term").isin(englishStopWords: _*))
+          .withColumn("bin", when(v === 10, v).otherwise(v + 1).cast("int"))
+          .groupBy("term", "bin").agg(count(lit(1)).as("cnt"))
+      },
+      Some(s"""WITH $CTES,
+        |j AS (SELECT tf.term AS term, CAST(floor(tf.tf * 1.0 / dl.dl * 10) AS INT) AS v
+        |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |      WHERE tf.term IN ${sqlTermList(englishStopWords)})
+        |SELECT term, CASE WHEN v = 10 THEN v ELSE v + 1 END AS bin, count(*) AS cnt
+        |FROM j GROUP BY 1, 2""".stripMargin)),
 
     // JH1 — judgement-coverage histogram per model over the sweep's top-10
     // (`cmdline/JudgeTool.java:120-152` radix counts): unjudged / spam /
