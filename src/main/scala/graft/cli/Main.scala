@@ -26,7 +26,7 @@ object Main {
   /** Bare flags are mapped to "true" under their stripped key FIRST, then the
    * remaining args pair up key/value — so a flag never swallows the next
    * option (`index --input X --sorted --out Y` keeps both sorted and out). */
-  private val FLAGS = Set("--sorted", "--uniq")
+  private val FLAGS = Set("--sorted", "--uniq", "--resume")
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val (flags, kvs) = args.partition(FLAGS.contains)
     require(kvs.length % 2 == 0, s"dangling option in: ${kvs.mkString(" ")}")
@@ -141,13 +141,23 @@ object Main {
       case "index-fielded" =>
         // per-field postings + dict + stats over the transcripts' natural
         // fields (contents / role / tool) — the reference's one-Lucene-
-        // index-per-field mode as a prebuilt, term-pruned parquet layout
+        // index-per-field mode as a prebuilt, term-pruned parquet layout.
+        // Default = FRESH build (the out dir is cleared first): stage-resume
+        // trusts committed stages, so reusing a dir across DIFFERENT
+        // corpora would silently return the old index. Pass --resume to
+        // crash-recover an interrupted build of the SAME input.
         val turns = spark.read.parquet(opt("input")).as[Turn]
+        val outDir = opt("out")
+        if (!opt.contains("resume")) {
+          val p = new org.apache.hadoop.fs.Path(outDir)
+          val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (pfs.exists(p)) pfs.delete(p, true)
+        }
         val t0 = System.nanoTime()
         graft.index.FieldedIndex.build(
-          graft.index.FieldedIndex.fromTurns(turns, tag), opt("out"),
+          graft.index.FieldedIndex.fromTurns(turns, tag), outDir,
           shards = opt.getOrElse("shards", "0").toInt)
-        println(s"""{"fielded_index":"${opt("out")}","sec":${(System.nanoTime() - t0) / 1e9}}""")
+        println(s"""{"fielded_index":"$outDir","sec":${(System.nanoTime() - t0) / 1e9}}""")
 
       case "search-fielded" =>
         // DisMax + minimum-should-match over a prebuilt fielded index;

@@ -2156,12 +2156,7 @@ object DriverQueries {
     // English stop set (the reference falls back to Lucene's
     // ENGLISH_STOP_WORDS_SET) — A7 as an explicit first-class gate.
     Spec("sw1_stopword_histogram",
-      (s, d) => {
-        val v = floor(col("tf").cast("double") / col("docLen").cast("double") * 10)
-        termDocs(s, d).filter(col("term").isin(englishStopWords: _*))
-          .withColumn("bin", when(v === 10, v).otherwise(v + 1).cast("int"))
-          .groupBy("term", "bin").agg(count(lit(1)).as("cnt"))
-      },
+      (s, d) => graft.stats.Histograms.lengthNormalized(termDocs(s, d), englishStopWords, 10),
       Some(s"""WITH $CTES,
         |j AS (SELECT tf.term AS term, CAST(floor(tf.tf * 1.0 / dl.dl * 10) AS INT) AS v
         |      FROM tf JOIN dl ON tf.doc_id = dl.doc_id
@@ -2172,11 +2167,32 @@ object DriverQueries {
     // JH1 — judgement-coverage histogram per model over the sweep's top-10
     // (`cmdline/JudgeTool.java:120-152` radix counts): unjudged / spam /
     // grade-0..4 counts of retrieved docs — the run-pool coverage analytic.
+    // Judged over a WIDER fixture than qrelsDf (grades −2..4, universe
+    // (doc+3·qid)%4==0), so every radix cell — spam and g3/g4 included —
+    // carries non-zero mass the gate actually checks. The oracle mirrors
+    // judgeHistogram's qrels dedup (max judge per (qid, doc) — the
+    // reference's map-lookup semantics under duplicate qrels lines).
     Spec("jh1_judge_histogram",
-      (s, d) => graft.eval.Metrics.judgeHistogram(
-        sweepRunsCached(s, d), qrelsDf(s, d), k = 10),
+      (s, d) => {
+        import s.implicits._
+        val qids = topics.map(_.qid).toDF("qid")
+        val jhQrels = Transcripts.table(s, d, "documents")
+          .select(col("doc_id"))
+          .crossJoin(broadcast(qids))
+          .filter((col("doc_id") + col("qid") * 3) % 4 === 0)
+          .select(col("qid"),
+            concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
+            ((col("doc_id") + col("qid")) % 7 - 2).cast("int").as("judge"))
+        graft.eval.Metrics.judgeHistogram(sweepRunsCached(s, d), jhQrels, k = 10)
+      },
       Some(s"""WITH $CTES,
-        |$sweepPqSql
+        |$sweepPqSql,
+        |jhq AS (SELECT q.qid AS qid,
+        |    'doc-' || CAST(d.doc_id AS VARCHAR) || '#0' AS docid,
+        |    CAST((d.doc_id + q.qid) % 7 - 2 AS INT) AS judge
+        |  FROM documents d CROSS JOIN (VALUES $qidValues) AS q(qid)
+        |  WHERE (d.doc_id + q.qid * 3) % 4 = 0),
+        |jhu AS (SELECT qid, docid, max(judge) AS judge FROM jhq GROUP BY qid, docid)
         |SELECT r.model AS model,
         |  CAST(sum(CASE WHEN qr.judge IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unjudged,
         |  CAST(sum(CASE WHEN qr.judge = -2 THEN 1 ELSE 0 END) AS BIGINT) AS spam,
@@ -2185,7 +2201,7 @@ object DriverQueries {
         |  CAST(sum(CASE WHEN qr.judge = 2 THEN 1 ELSE 0 END) AS BIGINT) AS g2,
         |  CAST(sum(CASE WHEN qr.judge = 3 THEN 1 ELSE 0 END) AS BIGINT) AS g3,
         |  CAST(sum(CASE WHEN qr.judge = 4 THEN 1 ELSE 0 END) AS BIGINT) AS g4
-        |FROM run r LEFT JOIN qrels qr ON r.qid = qr.qid AND r.docid = qr.docid
+        |FROM run r LEFT JOIN jhu qr ON r.qid = qr.qid AND r.docid = qr.docid
         |WHERE r.rank <= 10
         |GROUP BY r.model""".stripMargin)),
 

@@ -182,8 +182,14 @@ object Metrics {
    */
   def judgeHistogram(runs: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     def cnt(cond: org.apache.spark.sql.Column) = sum(when(cond, 1L).otherwise(0L))
+    // JudgeTool reads qrels into a (qid, docId) → judge MAP, so a retrieved
+    // doc counts ONCE even when a qrels file carries duplicate lines; a raw
+    // join would emit one row per duplicate. max(judge) is the
+    // deterministic stand-in for the reference's load-order last-wins.
+    val uniqueQrels = qrels.select("qid", "docId", "judge")
+      .groupBy("qid", "docId").agg(max("judge").as("judge"))
     runs.filter(col("rank") <= k)
-      .join(qrels.select("qid", "docId", "judge"), Seq("qid", "docId"), "left")
+      .join(uniqueQrels, Seq("qid", "docId"), "left")
       .groupBy("model")
       .agg(
         cnt(col("judge").isNull).as("unjudged"),

@@ -45,25 +45,27 @@ object FieldedIndex {
    * postings into contiguous row groups; the dict and stats aggregations
    * run once here instead of once per query.
    *
+   * Build is RESUMABLE at stage granularity (north rule, like
+   * [[IndexBuild]], whose `stageDone` marker convention this reuses): each
+   * of the three stage dirs commits atomically (job-level `_SUCCESS`) and
+   * a restart skips committed stages — a crash between postings and dict
+   * re-runs only the cheap read-back aggregations, never the corpus pass.
+   *
+   * CONTRACT (same as IndexBuild): resume is crash recovery for the SAME
+   * input — committed stages are trusted, so pointing a build at a dir
+   * holding another corpus's committed stages returns that older index.
+   * Callers building a possibly-changed corpus into a reused dir must
+   * clear it first (the CLI's `index-fielded` does, unless `--resume`).
+   *
    * @param shards posting output files (0 = session shuffle partitions);
    *   at cluster scale size this so a shard's row groups stay within
    *   `files.maxPartitionBytes`
    */
-  private def stageDone(spark: SparkSession, stageDir: String): Boolean = {
-    val p = new Path(s"$stageDir/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
-
-  /** Build is RESUMABLE at stage granularity (north rule, like
-   * [[IndexBuild]]): each of the three stage dirs commits atomically
-   * (job-level `_SUCCESS`) and a restart skips committed stages — a crash
-   * between postings and dict re-runs only the cheap read-back
-   * aggregations, never the corpus pass. */
   def build(fielded: DataFrame, dir: String, shards: Int = 0): FIndex = {
     val spark = fielded.sparkSession
     val parts = if (shards > 0) shards
                 else math.max(1, spark.sessionState.conf.numShufflePartitions)
-    if (!stageDone(spark, s"$dir/postings"))
+    if (!IndexBuild.stageDone(spark, s"$dir/postings"))
       fielded
         .select("docId", "field", "term", "tf", "docLen")
         .repartitionByRange(parts, col("term"), col("field"), col("docId"))
@@ -75,13 +77,13 @@ object FieldedIndex {
     // a column-pruned columnar scan of exactly the rows the postings hold
     // (identical semantics: one posting row per (doc, field, term)).
     val written = spark.read.parquet(s"$dir/postings")
-    if (!stageDone(spark, s"$dir/dict"))
+    if (!IndexBuild.stageDone(spark, s"$dir/dict"))
       written.groupBy("field", "term")
         .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
         .repartitionByRange(math.max(1, parts / 4), col("term"))
         .sortWithinPartitions("term")
         .write.mode("overwrite").parquet(s"$dir/dict")
-    if (!stageDone(spark, s"$dir/stats"))
+    if (!IndexBuild.stageDone(spark, s"$dir/stats"))
       written.groupBy("field")
         .agg(countDistinct("docId").as("fN"), sum("tf").as("fC"))
         .coalesce(1)

@@ -111,7 +111,9 @@ class MetricsSpec extends AnyFunSuite {
       ("m1", 1, "d1", 1), ("m1", 1, "d2", 2), ("m1", 1, "d3", 3), ("m1", 1, "d4", 4),
       ("m2", 1, "d1", 1), ("m2", 1, "d5", 2), ("m2", 1, "d6", 3))
       .toDF("model", "qid", "docId", "rank")
-    val qrels = Seq((1, "d1", 2), (1, "d2", -2), (1, "d4", 1), (1, "d5", 4))
+    // d1 appears TWICE in qrels (duplicate line, grades 0 and 2): the
+    // reference's map lookup counts the doc once — max wins, never both
+    val qrels = Seq((1, "d1", 2), (1, "d1", 0), (1, "d2", -2), (1, "d4", 1), (1, "d5", 4))
       .toDF("qid", "docId", "judge")
     // columns: model, unjudged, spam, g0, g1, g2, g3, g4
     val got = Metrics.judgeHistogram(runs, qrels, k = 3)
