@@ -84,8 +84,12 @@ object FieldedIndex {
         .sortWithinPartitions("term")
         .write.mode("overwrite").parquet(s"$dir/dict")
     if (!IndexBuild.stageDone(spark, s"$dir/stats"))
-      written.groupBy("field")
-        .agg(countDistinct("docId").as("fN"), sum("tf").as("fC"))
+      // two-stage instead of agg(countDistinct, sum): mixing a distinct
+      // aggregate with a plain one plans an Expand that DOUBLES the posting
+      // rows through the shuffle; (field, docId) partials then a tiny
+      // per-field roll-up computes the same (fN, fC) in one normal pass
+      written.groupBy("field", "docId").agg(sum("tf").as("docTf"))
+        .groupBy("field").agg(count(lit(1)).as("fN"), sum("docTf").as("fC"))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/stats")
     load(spark, dir)
