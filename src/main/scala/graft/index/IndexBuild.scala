@@ -256,11 +256,17 @@ object IndexBuild {
           .write.mode("append").partitionBy("shard").parquet(postingsDir)
         // per-shard lineage + metrics from the blocks just committed
         val wallMs = (System.nanoTime() - t0) / 1000000L
+        // two-stage (shard, term) partials → per-shard roll-up: mixing
+        // countDistinct with plain sums plans an Expand that doubles the
+        // block rows through the shuffle (see FieldedIndex.build)
         spark.read.parquet(postingsDir)
           .filter(col("shard").isin(shardGroup: _*))
+          .groupBy("shard", "term")
+          .agg(count(lit(1)).as("tBlocks"), sum("n").as("tPostings"),
+            sum("maxTf").as("tMaxTf"))
           .groupBy("shard")
-          .agg(count(lit(1)).as("nBlocks"), sum("n").as("nPostings"),
-            countDistinct("term").as("nTerms"), sum("maxTf").as("sumMaxTf"))
+          .agg(sum("tBlocks").as("nBlocks"), sum("tPostings").as("nPostings"),
+            count(lit(1)).as("nTerms"), sum("tMaxTf").as("sumMaxTf"))
           .withColumn("wave", lit(wave))
           .withColumn("wallMs", lit(wallMs))
           .write.mode("append").parquet(manifestDir)
