@@ -84,16 +84,26 @@ object FieldedIndex {
         .sortWithinPartitions("term")
         .write.mode("overwrite").parquet(s"$dir/dict")
     if (!IndexBuild.stageDone(spark, s"$dir/stats"))
-      // two-stage instead of agg(countDistinct, sum): mixing a distinct
-      // aggregate with a plain one plans an Expand that DOUBLES the posting
-      // rows through the shuffle; (field, docId) partials then a tiny
-      // per-field roll-up computes the same (fN, fC) in one normal pass
-      written.groupBy("field", "docId").agg(sum("tf").as("docTf"))
-        .groupBy("field").agg(count(lit(1)).as("fN"), sum("docTf").as("fC"))
+      fieldStatsOf(written)
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$dir/stats")
     load(spark, dir)
   }
+
+  /** Per-field corpus statistics (fN = judged docs, fC = total tf) from a
+   * fielded posting source — shared by [[build]] and the on-the-fly
+   * [[graft.query.Fielded.search]] variant.
+   *
+   * Two-stage instead of `agg(countDistinct, sum)`: mixing a distinct
+   * aggregate with a plain one plans an Expand that DOUBLES the posting
+   * rows through the shuffle; (field, docId) partials then a tiny
+   * per-field roll-up compute the same values in one normal pass. NULL
+   * docIds are filtered first (countDistinct ignored them; count(*) over
+   * groups would not). */
+  def fieldStatsOf(fielded: DataFrame): DataFrame =
+    fielded.filter(col("docId").isNotNull)
+      .groupBy("field", "docId").agg(sum("tf").as("docTf"))
+      .groupBy("field").agg(count(lit(1)).as("fN"), sum("docTf").as("fC"))
 
   /**
    * Canonical fielded posting source over a transcripts table's NATURAL

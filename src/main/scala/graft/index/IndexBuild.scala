@@ -258,7 +258,9 @@ object IndexBuild {
         val wallMs = (System.nanoTime() - t0) / 1000000L
         // two-stage (shard, term) partials → per-shard roll-up: mixing
         // countDistinct with plain sums plans an Expand that doubles the
-        // block rows through the shuffle (see FieldedIndex.build)
+        // block rows through the shuffle (see FieldedIndex.fieldStatsOf;
+        // block terms are non-null by construction, so count(*) over the
+        // (shard, term) groups ≡ the old countDistinct)
         spark.read.parquet(postingsDir)
           .filter(col("shard").isin(shardGroup: _*))
           .groupBy("shard", "term")

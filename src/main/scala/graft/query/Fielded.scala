@@ -61,12 +61,7 @@ object Fielded {
     // |query terms| × |fields|, never the corpus vocabulary
     // (mirrors Exact.qtermStats — the full-dict broadcast was the round-2
     // scale-killer flagged in VERDICT "What's wrong" #1).
-    // two-stage (field, docId) partials → per-field roll-up: mixing
-    // countDistinct with sum in one agg plans an Expand that doubles the
-    // posting rows through the shuffle (see FieldedIndex.build)
-    val fieldStats = fieldedTermDocs.groupBy("field", "docId")
-      .agg(sum("tf").as("docTf"))
-      .groupBy("field").agg(count(lit(1)).as("fN"), sum("docTf").as("fC"))
+    val fieldStats = graft.index.FieldedIndex.fieldStatsOf(fieldedTermDocs)
     val fieldDict = fieldedTermDocs
       .join(broadcast(q.select("term").distinct()), Seq("term"), "left_semi")
       .groupBy("field", "term")
