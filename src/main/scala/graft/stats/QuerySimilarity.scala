@@ -87,6 +87,29 @@ object QuerySimilarity {
       way(subs, w)
     }
 
+  /**
+   * Discount variant (`knn/DiscountCartesianSimilarity.java:12-49`):
+   * terms shared by BOTH queries are removed from both sides before the
+   * Cartesian coupling — shared vocabulary carries no discriminating
+   * signal between two queries. Single-term queries and empty
+   * intersections fall back to the plain [[cartesian]] score, exactly as
+   * the reference's `score` does. (Two queries with IDENTICAL term sets
+   * discount to two empty lists; the aggregate of zero values is NaN in
+   * the reference's Euclid/Ari arithmetic and is reproduced as such.)
+   */
+  def discountCartesian(r: Seq[(String, Array[Double])], s: Seq[(String, Array[Double])],
+                        div: (Array[Double], Array[Double]) => Double,
+                        agg: Agg = Euclid, w: Way = WayM): Double = {
+    def plain = cartesian(r.map(_._2), s.map(_._2), div, agg, w)
+    if (r.size == 1 || s.size == 1) plain
+    else {
+      val inter = r.map(_._1).toSet.intersect(s.map(_._1).toSet)
+      if (inter.isEmpty) plain
+      else cartesian(r.collect { case (t, v) if !inter(t) => v },
+        s.collect { case (t, v) if !inter(t) => v }, div, agg, w)
+    }
+  }
+
   /** The derived-vector similarity family (`knn/AverageDFQuerySimilarity`
    * "ADF", `DFAverageQuerySimilarity`, `DFGeoQuerySimilarity`, …): each
    * query's term histograms collapse into ONE vector via a

@@ -62,6 +62,21 @@ class QuerySimilaritySpec extends AnyFunSuite {
     assert(QuerySimilarity.derived(r, t, Divergence.averageAndDf, chi) > 0.0)
   }
 
+  test("discountCartesian ignores terms shared by both queries (DiscountCartesianSimilarity.java:12-49)") {
+    // absolute-difference kernel on 1-element vectors for hand math
+    val d = (x: Array[Double], y: Array[Double]) => math.abs(x(0) - y(0))
+    def q(ts: (String, Double)*) = ts.map { case (t, x) => (t, Array(x)) }
+    // shared term "w" dropped from both → couple(("a",1),("b",5)) = |1−5| = 4
+    assert(QuerySimilarity.discountCartesian(
+      q("w" -> 100.0, "a" -> 1.0), q("w" -> 0.0, "b" -> 5.0), d, Ari) == 4.0)
+    // no intersection → plain cartesian: couple of equal-size lists
+    assert(QuerySimilarity.discountCartesian(
+      q("a" -> 1.0, "b" -> 2.0), q("c" -> 1.0, "d" -> 2.0), d, Ari) == 0.0)
+    // single-term query → plain cartesian even when the term is shared
+    assert(QuerySimilarity.discountCartesian(
+      q("w" -> 3.0), q("w" -> 1.0, "b" -> 3.0), d, Ari, WayX) == 2.0)
+  }
+
   test("integrates with the Divergence kernels (χ² over a real histogram pair)") {
     val a = Array(1.0, 2.0, 3.0)
     val b = Array(1.0, 2.0, 3.0)
