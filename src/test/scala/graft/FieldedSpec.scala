@@ -211,6 +211,21 @@ class FieldedSpec extends AnyFunSuite {
     assert(stats == Set(("title", 1L, 1L), ("contents", 1L, 3L)))
   }
 
+  test("fieldStatsOf plan has NO Expand node (two-stage distinct-count rewrite pinned)") {
+    import spark.implicits._
+    val fd = Seq(
+      ("docA", "title", "apple", 1L, 2L),
+      ("docB", "contents", "apple", 2L, 10L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val stats = graft.index.FieldedIndex.fieldStatsOf(fd)
+    val plan = stats.queryExecution.executedPlan.toString
+    // agg(countDistinct, sum) would plan an Expand that doubles the posting
+    // rows through the shuffle — the two-stage rewrite must keep it out
+    assert(!plan.contains("Expand"), s"Expand crept back into fieldStatsOf:\n$plan")
+    val got = stats.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("title", 1L, 1L), ("contents", 1L, 2L)))
+  }
+
   test("single-term query: msm(1)=1 keeps single-field matches") {
     import spark.implicits._
     val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))
