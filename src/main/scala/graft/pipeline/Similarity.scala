@@ -70,6 +70,23 @@ object Similarity {
     }
   }
 
+  /** [[lshBucketUdf]] as PURE COLUMN MATH — whole-stage-codegen'd, no UDF
+   * on the corpus-sized scan ("functions, not UDFs"). Per plane the dot
+   * product accumulates left-to-right in double via `aggregate(zip_with)`
+   * — the identical FP order to the scalar loop, so buckets are
+   * bit-identical (asserted in SimilaritySpec); a vector shorter than a
+   * plane contributes nothing for the missing dims (`coalesce` to 0,
+   * matching the loop's min-length bound). Plane bits are disjoint, so
+   * the bitwise OR is a plain sum. */
+  def lshBucketCol(vec: Column, planes: Int, dim: Int, seed: Long): Column =
+    (0 until planes).map { p =>
+      val row = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
+      val dot = aggregate(
+        zip_with(vec, row, (x, y) => coalesce(x.cast("double") * y, lit(0.0d))),
+        lit(0.0d), (acc, v) => acc + v)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** All buckets within hamming distance ≤ probeBits of b over `planes` bits. */
   def probeBuckets(b: Long, planes: Int, probeBits: Int): Seq[Long] = {
     def flips(start: Int, left: Int, cur: Long): Seq[Long] =
@@ -89,14 +106,15 @@ object Similarity {
               probeBits: Int = 1, roundTo: Int = 6): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val bucketOf = lshBucketUdf(planes, dim, seed)
-
+    // corpus side: codegen'd column math — the scan that matters at scale.
+    // query side: tiny broadcast frame; the multi-probe expansion keeps the
+    // scalar combinatorial helper.
     val corpusB = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
-      .withColumn("bucket", bucketOf(col("v")))
+      .withColumn("bucket", lshBucketCol(col("v"), planes, dim, seed))
 
     val probes = udf { (b: Long) => probeBuckets(b, planes, probeBits) }
     val queryB = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      .withColumn("bucket", explode(probes(bucketOf(col("qv")))))
+      .withColumn("bucket", explode(probes(lshBucketCol(col("qv"), planes, dim, seed))))
 
     // Multi-probe emits the same (qid, id) through every shared bucket; the
     // dedup must NOT key on the vectors (a distinct over (qid,id,v,qv) drags

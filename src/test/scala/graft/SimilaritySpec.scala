@@ -61,6 +61,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("lshBucketCol (codegen'd column math) ≡ lshBucketUdf bit-for-bit; no UDF on the corpus scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 100L).map(i => (i, Array.fill(DIM)(rng.nextFloat() * 2 - 1))) :+
+      (100L, Array.fill(DIM / 2)(0.25f)) // shorter than dim: missing dims contribute 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val both = df.select(col("vec_id"),
+        Similarity.lshBucketCol(col("embedding"), planes = 12, dim = DIM, seed = 42L).as("c"),
+        Similarity.lshBucketUdf(12, DIM, 42L)(col("embedding")).as("u"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"bucket diverged for vec ${r.getLong(0)}: col=${r.getLong(1)} udf=${r.getLong(2)}"))
+    // and the corpus-side plan of lshTopK carries no scala UDF (the only
+    // UDF left is the tiny multi-probe expansion on the broadcast side)
+    val plan = df.select(
+      Similarity.lshBucketCol(col("embedding"), 12, DIM, 42L).as("bucket"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), s"UDF in the bucket scan:\n$plan")
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
