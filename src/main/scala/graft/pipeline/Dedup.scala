@@ -196,13 +196,14 @@ object Dedup {
     val chunked = distinctFp.select(col("simhash"), col("repId"), posexplode(array(
       (0 until 4).map(i => shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*
     )).as(Seq("chunk", "chunkVal")))
-    val dist = udf((a: Long, b: Long) => hamming(a, b))
     val fpPairs = chunked.as("a").join(chunked.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunkVal") === col("b.chunkVal") &&
           col("a.repId") < col("b.repId"))
       .select(col("a.simhash").as("s1"), col("b.simhash").as("s2"))
       .distinct()
-      .withColumn("dist", dist(col("s1"), col("s2")))
+      // hamming as native bit_count(xor) — codegen'd, no UDF in the
+      // candidate-pair filter (≡ Long.bitCount(s1 ^ s2))
+      .withColumn("dist", bit_count(col("s1").bitwiseXOR(col("s2"))))
       .filter(col("dist") <= maxDist)
 
     // dist-0 pairs within one fingerprint group
