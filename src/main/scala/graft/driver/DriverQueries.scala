@@ -144,6 +144,21 @@ object DriverQueries {
       })._1
     }
 
+  /** Block stage over the cached fielded index (round-4 VERDICT #1): built
+   * once per (sfDir, variant) into the SAME dir — the r3c gate then runs
+   * the early-terminating WAND over term-pruned block scans. sf0.01 holds
+   * ~600 docs; 256-doc shards exercise the cross-shard heap merge. */
+  private val fieldedBlockCache =
+    scala.collection.mutable.Map.empty[(String, String), graft.index.FieldedBlocks.FBIndex]
+  def fieldedBlockIndex(s: SparkSession, d: String, variant: String): graft.index.FieldedBlocks.FBIndex =
+    synchronized {
+      val idx = fieldedIndex(s, d, variant)
+      fieldedBlockCache.getOrElseUpdate((d, variant), {
+        val dir = fieldedCache((d, variant))._2
+        graft.index.FieldedBlocks.build(idx, dir, docsPerShard = 256)
+      })
+    }
+
   /** Unpersist and drop every per-sfDir cache (the gate suite's warm
    * state) — including storage persisted INSIDE the builders (DenseIds'
    * post-shuffle frame in the compressed index, which the memo never
@@ -1631,7 +1646,13 @@ object DriverQueries {
             Scoring.BM25c(0.9, 0.4), K, rounded = Some(4))
           .withColumnRenamed("docId", "docid")
       },
-      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      Some(r3OracleSql))
+  )
+
+  /** Shared by r3 (flat join+window path) and r3c (block-max WAND path) —
+   * the two engines must produce the identical fielded DisMax result. */
+  private lazy val r3OracleSql: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |f AS (
         |  SELECT doc_id, 'title' AS field, list_slice(toks, 1, 8) AS ftoks FROM base
         |  UNION ALL
@@ -1672,8 +1693,7 @@ object DriverQueries {
         |    CAST(row_number() OVER (PARTITION BY qid
         |      ORDER BY score DESC, ('doc-' || CAST(doc_id AS VARCHAR) || '#0') ASC) AS INT) AS rank, score
         |  FROM pd)
-        |SELECT qid, docid, rank, score FROM ranked WHERE rank <= $K""".stripMargin))
-  )
+        |SELECT qid, docid, rank, score FROM ranked WHERE rank <= $K""".stripMargin
 
   // ---- batch 9 (round 3): NCG / statAP metrics, natural-field retrieval ----
 
@@ -2235,8 +2255,23 @@ object DriverQueries {
         |FROM ag""".stripMargin))
   )
 
+  // ---- batch 11 (round 5): early-terminating fielded retrieval ----
+
+  val specs11: Seq[Spec] = Seq(
+    // R3c — the SAME fielded DisMax result as r3, produced by the
+    // early-terminating block-max WAND over per-(field, term) posting
+    // blocks (round-4 VERDICT next-round #1) instead of the flat
+    // join+window plan; hash-matches the identical oracle.
+    Spec("r3c_fielded_bmw",
+      (s, d) =>
+        graft.query.FieldedBlockMax.search(fieldedBlockIndex(s, d, "split"),
+            topics, Scoring.BM25c(0.9, 0.4), K, rounded = Some(4))
+          .withColumnRenamed("docId", "docid"),
+      Some(r3OracleSql))
+  )
+
   private def allSpecs: Seq[Spec] =
-    specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8 ++ specs9 ++ specs10
+    specs ++ specs2 ++ specs3 ++ specs4 ++ specs5 ++ specs6 ++ specs7 ++ specs8 ++ specs9 ++ specs10 ++ specs11
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allSpecs.map(s => s.name -> s.fn).toMap

@@ -75,3 +75,25 @@ final case class PostingBlock(
 /** Per-document identity map: stable string key ↔ dense numeric id whose
  * ascending order equals the docId string order (tie-break invariant). */
 final case class DocEntry(docId: String, docIdNum: Long, docLen: Long)
+
+/** One compressed posting block of a (field, term) posting list in the
+ * prebuilt fielded index — [[PostingBlock]] plus the field key, carrying the
+ * same block-max metadata so the fielded retrieval path can run a WAND-style
+ * early-terminating loop (reference analog: the per-field Lucene indexes
+ * searched at `Searcher.java:232-323`, each with its own skip lists).
+ * docLen here is the PER-FIELD analyzed length (per-field norms, as one
+ * Lucene index per field would store). */
+final case class FieldedBlock(
+    shard: Int,        // document shard (docIdNum range) this block belongs to
+    field: String,
+    term: String,      // files sorted (field, term, doc) → row-group pruning
+    blockNo: Int,      // ordinal within a build-partition run — readers order by minDoc
+    n: Int,
+    minDoc: Long,
+    maxDoc: Long,
+    maxTf: Long,
+    sumTf: Long,
+    minDocLen: Long,   // min PER-FIELD docLen within block
+    docBytes: Array[Byte],
+    tfBytes: Array[Byte],
+    dlBytes: Array[Byte])

@@ -226,6 +226,98 @@ class FieldedSpec extends AnyFunSuite {
     assert(got == Set(("title", 1L, 1L), ("contents", 1L, 2L)))
   }
 
+  // ---- round-5: early-terminating fielded retrieval (FieldedBlockMax) ----
+
+  test("FieldedBlockMax ≡ searchIndexed on the hand fixture (float + rounded modes)") {
+    import spark.implicits._
+    val fd = Seq(
+      ("docA", "title", "apple", 1L, 2L),
+      ("docA", "contents", "pie", 1L, 10L),
+      ("docB", "contents", "apple", 1L, 10L),
+      ("docB", "contents", "pie", 1L, 10L),
+      ("docC", "title", "apple", 1L, 2L),
+      ("docD", "contents", "other", 3L, 10L),
+      ("docD", "title", "misc", 1L, 2L),
+      ("docE", "contents", "other", 2L, 10L),
+      ("docE", "title", "misc", 1L, 2L))
+      .toDF("docId", "field", "term", "tf", "docLen")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbmw-fix").toString
+    val idx = graft.index.FieldedIndex.build(fd, dir)
+    val fb = graft.index.FieldedBlocks.build(idx, dir, docsPerShard = 2, blockSize = 2)
+    val topics = Seq(Topic(1, "apple pie"), Topic(2, "other"), Topic(3, "zzznope"))
+    for (rounded <- Seq(None, Some(4))) {
+      val want = Fielded.searchIndexed(idx, topics, Scoring.BM25c(0.9, 0.4), 10,
+          rounded = rounded)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.get(3))).toSet
+      val got = graft.query.FieldedBlockMax.search(fb, topics,
+          Scoring.BM25c(0.9, 0.4), 10, rounded = rounded)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.get(3))).toSet
+      assert(got == want, s"rounded=$rounded diverged:\n  want=$want\n  got=$got")
+    }
+    // and a reload round-trips
+    val re = graft.query.FieldedBlockMax.search(
+        graft.index.FieldedBlocks.load(spark, dir), topics,
+        Scoring.BM25c(0.9, 0.4), 10, rounded = Some(4))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.get(3))).toSet
+    assert(re.nonEmpty)
+  }
+
+  test("FieldedBlockMax ≡ searchIndexed on generated transcripts (k cuts, multi-shard, zero-boost field)") {
+    val turns = graft.data.Transcripts.generate(spark, 60, 6, seed = 11L, partitions = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbmw-gen").toString
+    val idx = graft.index.FieldedIndex.build(
+      graft.index.FieldedIndex.fromTurns(turns), dir)
+    // tiny shards + tiny blocks: exercises shard-boundary cuts, multi-block
+    // runs, and the cross-shard heap merge
+    val fb = graft.index.FieldedBlocks.build(idx, dir, docsPerShard = 16, blockSize = 4)
+    val topics = Seq(
+      Topic(1, "bash w0"), Topic(2, "w1 w2 w3"), Topic(3, "assistant w0 w1 w2 w4"),
+      Topic(4, "w5"), Topic(5, "w0 w0 w0"))
+    // 'contents' boosted, role boosted, tool NOT in the boost map (scores 0
+    // but still counts for msm — the silent-field semantics of Fielded.score)
+    val boosts = Map("role" -> 0.9, "contents" -> 0.3)
+    for (k <- Seq(3, 10, 50)) {
+      val want = Fielded.searchIndexed(idx, topics, Scoring.BM25c(0.9, 0.4), k,
+          boosts = boosts, rounded = Some(4))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+      val got = graft.query.FieldedBlockMax.search(fb, topics,
+          Scoring.BM25c(0.9, 0.4), k, boosts = boosts, rounded = Some(4))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+      assert(got == want,
+        s"k=$k diverged:\n  missing=${want -- got}\n  extra=${got -- want}")
+    }
+  }
+
+  test("FieldedBlocks: blocks respect shard boundaries and decode round-trips") {
+    import spark.implicits._
+    val fd = (0 until 40).flatMap { i =>
+      Seq((f"doc$i%03d", "contents", "alpha", (i % 3 + 1).toLong, 10L),
+          (f"doc$i%03d", "title", if (i % 2 == 0) "alpha" else "beta", 1L, 2L))
+    }.toDF("docId", "field", "term", "tf", "docLen")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fbmw-shard").toString
+    val idx = graft.index.FieldedIndex.build(fd, dir)
+    val fb = graft.index.FieldedBlocks.build(idx, dir, docsPerShard = 8, blockSize = 4)
+    val blocks = fb.blocks.collect()
+    blocks.foreach { b =>
+      assert(b.minDoc / 8 == b.maxDoc / 8,
+        s"block for (${b.field},${b.term}) straddles shards: ${b.minDoc}..${b.maxDoc}")
+      assert(b.shard == (b.minDoc / 8).toInt)
+      assert(b.n <= 4)
+      val docs = graft.index.Codec.decodeDeltas(b.docBytes, b.n)
+      assert(docs.toSeq == docs.sorted.toSeq && docs.head == b.minDoc && docs.last == b.maxDoc)
+    }
+    // decode ∪ blocks == the raw posting rows (via docIdNum map)
+    val decoded = blocks.flatMap { b =>
+      val d = graft.index.Codec.decodeDeltas(b.docBytes, b.n)
+      val t = graft.index.Codec.decodeTfs(b.tfBytes, b.n)
+      Iterator.tabulate(b.n)(i => (b.field, b.term, d(i), t(i)))
+    }.toSet
+    val fdocs = fb.fdocs.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = fd.collect().map(r =>
+      (r.getString(1), r.getString(2), fdocs(r.getString(0)), r.getLong(3))).toSet
+    assert(decoded == want)
+  }
+
   test("single-term query: msm(1)=1 keeps single-field matches") {
     import spark.implicits._
     val fd = Seq(("d1", "contents", "apple", 1L, 5L), ("d2", "contents", "zز", 1L, 5L))
