@@ -53,6 +53,7 @@ object Bench {
       DriverQueries.index(spark, sfDir)
       DriverQueries.fieldedIndex(spark, sfDir, "split")
       DriverQueries.fieldedIndex(spark, sfDir, "natural")
+      DriverQueries.fieldedBlockIndex(spark, sfDir, "split") // r3c's one-time block stage
     } catch { case _: Throwable => -1.0 }
     // SPARK_GRAFT_SKIP: comma-separated gate names to exclude — used at
     // big synthetic scale points where a gate's TEST FIXTURE (e.g. the
@@ -96,6 +97,10 @@ object Bench {
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => }
     }
+    // everything past this point creates temp dirs — rmAll MUST run even
+    // when a timed section throws (an sf10 failure mid-section otherwise
+    // leaks corpus copies/checkpoints and a bench loop dies with ENOSPC)
+    try {
 
     val streamingFile: Seq[(String, Double)] = try {
       val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -165,34 +170,96 @@ object Bench {
     val buildSec = time(IndexBuild.build(turns, idxDir, docsPerShard = docsPerShard, inputSorted = true))
     val turnsPerSec = benchTurns / buildSec
 
-    // 3. query latency p50/p95 on the built index (per topic-set run)
+    // 3. query latency p50/p95 on the built index. Round-4 VERDICT #6: the
+    // 6-topic × sequential-block measurement swung ±0.6 s round-over-round
+    // on host noise — now 24 topics per run and the exact/BMW legs
+    // INTERLEAVED (drift hits both legs equally), with n and min/max
+    // dispersion recorded so deltas can be judged against spread.
     val index = IndexBuild.load(spark, idxDir)
     val topics = Seq(
       Topic(1, "w0 w3"), Topic(2, "needle0 needle7"), Topic(3, "w1 w2 w5"),
-      Topic(4, "w10 w100 w500 w1500"), Topic(5, "w0 needle3 w42"), Topic(6, "w7"))
+      Topic(4, "w10 w100 w500 w1500"), Topic(5, "w0 needle3 w42"), Topic(6, "w7"),
+      Topic(7, "w4 w9"), Topic(8, "needle11 w33"), Topic(9, "w20 w21 w22"),
+      Topic(10, "w11 w111 w1111"), Topic(11, "needle21 needle22"), Topic(12, "w13"),
+      Topic(13, "w2 w8 w64"), Topic(14, "w55 needle5"), Topic(15, "w6 w66 w666"),
+      Topic(16, "w15 w150 w1500"), Topic(17, "needle31 w77"), Topic(18, "w17"),
+      Topic(19, "w1 w19 w190"), Topic(20, "needle41 needle42 w44"), Topic(21, "w23 w234"),
+      Topic(22, "w31 w310 w1310"), Topic(23, "needle13 w130"), Topic(24, "w3 w30 w300 w1300"))
     val model = Scoring.BM25c(0.9, 0.4)
     val termDocs = index.termDocs.cache()
     termDocs.count()
     val reps = 7
-    val exactLat = Array.fill(reps)(time {
-      Exact.search(termDocs, index.dict, index.stats, topics, model, 1000).count()
-    }).sorted
-    val bmwLat = Array.fill(reps)(time {
-      BlockMaxWand.search(index, topics, model, 1000).count()
-    }).sorted
+    val exactLat = new Array[Double](reps)
+    val bmwLat = new Array[Double](reps)
+    var r = 0
+    while (r < reps) {
+      exactLat(r) = time {
+        Exact.search(termDocs, index.dict, index.stats, topics, model, 1000).count()
+      }
+      bmwLat(r) = time {
+        BlockMaxWand.search(index, topics, model, 1000).count()
+      }
+      r += 1
+    }
     termDocs.unpersist()
-    rmAll() // every temp dir of this run (stream input/checkpoints, A/B + latency indexes)
+    java.util.Arrays.sort(exactLat)
+    java.util.Arrays.sort(bmwLat)
+
+    // 3b. fielded latency: flat join+window (searchIndexed) vs the
+    // early-terminating block-max WAND (round-5) over the SAME topic set on
+    // a fielded index of the same synthetic corpus (natural transcript
+    // fields). One-time builds reported separately; legs interleaved.
+    val fieldedLat: Seq[(String, Double)] = try {
+      val fDir = tmpDir("graft-bench-fidx")
+      val fBuildSec = time {
+        graft.index.FieldedIndex.build(
+          graft.index.FieldedIndex.fromTurns(turns), fDir, shards = cpus.toInt)
+      }
+      val fidx = graft.index.FieldedIndex.load(spark, fDir)
+      val fbBuildSec = time {
+        graft.index.FieldedBlocks.build(fidx, fDir, docsPerShard = docsPerShard)
+      }
+      val fb = graft.index.FieldedBlocks.load(spark, fDir)
+      val boosts = Map("role" -> 0.9, "tool" -> 0.7, "contents" -> 0.3)
+      val flatLat = new Array[Double](reps)
+      val fbmwLat = new Array[Double](reps)
+      var i = 0
+      while (i < reps) {
+        flatLat(i) = time {
+          graft.query.Fielded.searchIndexed(fidx, topics, model, 1000, boosts = boosts).count()
+        }
+        fbmwLat(i) = time {
+          graft.query.FieldedBlockMax.search(fb, topics, model, 1000, boosts = boosts).count()
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(flatLat)
+      java.util.Arrays.sort(fbmwLat)
+      Seq("flat_p50" -> pct(flatLat, 0.5), "flat_p95" -> pct(flatLat, 0.95),
+        "bmw_p50" -> pct(fbmwLat, 0.5), "bmw_p95" -> pct(fbmwLat, 0.95),
+        "flat_min" -> flatLat.head, "flat_max" -> flatLat.last,
+        "bmw_min" -> fbmwLat.head, "bmw_max" -> fbmwLat.last,
+        "build_sec" -> fBuildSec, "blocks_sec" -> fbBuildSec)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fielded latency section failed: $e")
+      Seq("failed" -> -1.0)
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ > 0).sum + math.max(warmupSec, 0.0)
     val streamJson = streamingFile.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fieldedJson = fieldedLat.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warmup_sec":$warmupSec,""" +
       s""""skipped":[${skip.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],"sf":"$sfDir",""" +
       s""""streaming_file":$streamJson,""" +
       s""""index_build":{"turns":$benchTurns,"sec":$buildSec,"turns_per_sec":$turnsPerSec,"sec_dirty_heap":$buildSecDirty},""" +
       s""""bm25_topk_sec":{"exact_p50":${pct(exactLat, 0.5)},"exact_p95":${pct(exactLat, 0.95)},""" +
-      s""""bmw_p50":${pct(bmwLat, 0.5)},"bmw_p95":${pct(bmwLat, 0.95)},"k":1000,"topics":${topics.size}},""" +
+      s""""bmw_p50":${pct(bmwLat, 0.5)},"bmw_p95":${pct(bmwLat, 0.95)},""" +
+      s""""exact_min":${exactLat.head},"exact_max":${exactLat.last},""" +
+      s""""bmw_min":${bmwLat.head},"bmw_max":${bmwLat.last},""" +
+      s""""k":1000,"topics":${topics.size},"reps":$reps,"interleaved":true},""" +
+      s""""fielded_topk_sec":$fieldedJson,""" +
       s""""cpus":$cpus}"""
     // the driver parses this JSON: print it as a line AND persist it to a
     // file so sbt/log4j noise on stdout can never hide it
@@ -204,5 +271,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     spark.stop()
     println(json)
+
+    } finally rmAll() // leak-proof: stream copies, checkpoints, A/B + fielded indexes
   }
 }

@@ -149,9 +149,24 @@ object Main {
         val turns = spark.read.parquet(opt("input")).as[Turn]
         val outDir = opt("out")
         if (!opt.contains("resume")) {
+          // Clear ONLY the known stage subdirs, never the whole --out path:
+          // a mistyped or shared directory (--out ~/data) must not be wiped.
+          // A non-empty dir that does not look like a (possibly partial)
+          // fielded index is refused outright.
           val p = new org.apache.hadoop.fs.Path(outDir)
           val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (pfs.exists(p)) pfs.delete(p, true)
+          val stages = Seq("postings", "dict", "stats", "fdocs", "fblocks")
+          if (pfs.exists(p)) {
+            val entries = pfs.listStatus(p).map(_.getPath.getName).toSet
+            val foreign = entries -- stages
+            require(foreign.isEmpty,
+              s"--out $outDir holds non-index entries ${foreign.mkString(", ")} — " +
+                "refusing to clear it; point --out at an empty or fielded-index directory")
+            stages.foreach { s =>
+              val sp = new org.apache.hadoop.fs.Path(p, s)
+              if (pfs.exists(sp)) pfs.delete(sp, true)
+            }
+          }
         }
         val t0 = System.nanoTime()
         graft.index.FieldedIndex.build(

@@ -183,6 +183,7 @@ object DriverQueries {
     indexCache.clear()
     fieldedCache.values.foreach { case (_, dir) => rmDir(dir) }
     fieldedCache.clear()
+    fieldedBlockCache.clear() // dirs already removed with the fielded cache
     spark.catalog.clearCache()
   }
 

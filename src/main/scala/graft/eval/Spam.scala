@@ -38,7 +38,17 @@ object Spam {
    * docId judged at two different scores must not land in two buckets
    * (double-count under one threshold, e.g. tp AND fn at once). The
    * reference keeps the file-order first occurrence; the deterministic
-   * DataFrame equivalent is min(bucket) per (docId, class). */
+   * DataFrame equivalent is min(bucket) per (docId, class).
+   *
+   * DEVIATION vs the reference's duplicate handling: RocTool REJECTS input
+   * holding a duplicate (queryID, docID) primary key outright (it loads
+   * qrels into a keyed map and a second occurrence is an error), so
+   * "first occurrence" and "min(bucket)" never actually diverge on input it
+   * accepts. This engine does not reject such rows — on real judged input
+   * where one doc is scored at two different percentiles, -uniq confusion
+   * counts can differ from what the reference would produce (it would
+   * refuse the file). Keyed on docId alone, matching the reference's
+   * per-class seen-set semantics. */
   private def classHistogram(labeled: DataFrame, bucket: org.apache.spark.sql.Column,
                              uniq: Boolean): DataFrame = {
     val base = labeled.select(col("docId"), bucket,

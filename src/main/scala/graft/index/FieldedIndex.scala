@@ -97,9 +97,13 @@ object FieldedIndex {
    * Two-stage instead of `agg(countDistinct, sum)`: mixing a distinct
    * aggregate with a plain one plans an Expand that DOUBLES the posting
    * rows through the shuffle; (field, docId) partials then a tiny
-   * per-field roll-up compute the same values in one normal pass. NULL
-   * docIds are filtered first (countDistinct ignored them; count(*) over
-   * groups would not). */
+   * per-field roll-up compute the same values in one normal pass.
+   *
+   * NULL-docId postings are excluded from BOTH fN and fC, by design: a
+   * posting without a document identity is unattributable garbage, not
+   * collection mass. (The replaced `agg(countDistinct(docId), sum(tf))`
+   * skipped NULLs in fN but silently counted their tf into fC — the
+   * filter-first form makes the two stats consistent.) */
   def fieldStatsOf(fielded: DataFrame): DataFrame =
     fielded.filter(col("docId").isNotNull)
       .groupBy("field", "docId").agg(sum("tf").as("docTf"))

@@ -93,7 +93,24 @@ object Streams {
                    stats: graft.model.CorpusStats,
                    model: graft.query.Scoring.Model, minScore: Double,
                    tag: Analyzer.Tag = Analyzer.Tag.NoStem,
-                   floatBoundary: Boolean = true): DataFrame = {
+                   floatBoundary: Boolean = true): DataFrame =
+    topicMatchesManaged(df, idCol, textCol, topics, dict, stats, model,
+      minScore, tag, floatBoundary)._1
+
+  /** [[topicMatches]], plus a release handle destroying the standing-set
+   * broadcast (no-op for sub-1024-term sets, which ride in the closure).
+   * A session-lifetime percolation query can ignore it — the broadcast's
+   * lifetime IS the session's — but a caller that re-registers large
+   * standing sets repeatedly (ad-hoc batch calls, restart loops) MUST call
+   * the handle after the last action on the result, or each call pins one
+   * executor-resident broadcast until session end. For a streaming query,
+   * call it from a `StreamingQueryListener.onQueryTerminated`. */
+  def topicMatchesManaged(df: DataFrame, idCol: String, textCol: String,
+                          topics: Seq[graft.model.Topic], dict: DataFrame,
+                          stats: graft.model.CorpusStats,
+                          model: graft.query.Scoring.Model, minScore: Double,
+                          tag: Analyzer.Tag = Analyzer.Tag.NoStem,
+                          floatBoundary: Boolean = true): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val byQid: Map[Int, Seq[(String, Int, Long, Long)]] =
       graft.query.Exact.qtermStats(spark, topics, dict, tag)
@@ -119,18 +136,17 @@ object Streams {
       }.groupBy(_._1).map { case (t, rows) => t -> rows.map(r => (r._2, r._3)) }
     // Shipping the standing-query structures: small sets ride in the task
     // closure (an ad-hoc topicMatches call must not pin a session-lifetime
-    // broadcast — broadcasts are only freed at session end); large sets go
-    // as ONE torrent broadcast (a closure is inside every task binary, a
-    // broadcast lands once per executor — the difference between ~10³ and
-    // ~10⁶ standing topics on a wide cluster, and a standing set that big
-    // belongs to a long-lived percolation query whose lifetime IS the
-    // session's).
+    // broadcast); large sets go as ONE torrent broadcast (a closure is
+    // inside every task binary, a broadcast lands once per executor — the
+    // difference between ~10³ and ~10⁶ standing topics on a wide cluster).
+    // The broadcast is released via the managed handle, not here — the
+    // DataFrame's tasks read it for as long as the caller runs the query.
     val payload = (qids, qTermMeta, inverted)
-    val bQ: () => (Array[Int], Array[Array[(Int, Long, Long)]], Map[String, Array[(Int, Int)]]) =
-      if (inverted.size < 1024) () => payload
+    val (bQ, release): (() => (Array[Int], Array[Array[(Int, Long, Long)]], Map[String, Array[(Int, Int)]]), () => Unit) =
+      if (inverted.size < 1024) (() => payload, () => ())
       else {
         val b = spark.sparkContext.broadcast(payload)
-        () => b.value
+        (() => b.value, () => { b.destroy(); () })
       }
     val n = stats.numDocs.toDouble
     val c = stats.numTokens.toDouble
@@ -166,8 +182,9 @@ object Streams {
         out.result()
       }
     }
-    df.select(col(idCol).as("id"), explode(matcher(col(textCol))).as("m"))
-      .select(col("id"), col("m._1").as("qid"), col("m._2").as("score"))
+    (df.select(col(idCol).as("id"), explode(matcher(col(textCol))).as("m"))
+      .select(col("id"), col("m._1").as("qid"), col("m._2").as("score")),
+      release)
   }
 
   private def maxDocIdNum(spark: org.apache.spark.sql.SparkSession, docsDir: String): Option[Long] = {
