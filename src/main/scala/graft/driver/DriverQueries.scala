@@ -2268,7 +2268,22 @@ object DriverQueries {
         graft.query.FieldedBlockMax.search(fieldedBlockIndex(s, d, "split"),
             topics, Scoring.BM25c(0.9, 0.4), K, rounded = Some(4))
           .withColumnRenamed("docId", "docid"),
-      Some(r3OracleSql))
+      Some(r3OracleSql)),
+
+    // M2 — REAL multimodal decode (round-4 VERDICT #3): PNG/GIF/JPEG
+    // header bytes built per-document (format cycling by id, dims derived
+    // arithmetically), parsed back by HeaderCodec from the magic bytes.
+    // The oracle recomputes the dims from the id — a wrong parse of any
+    // container cannot hash-match.
+    Spec("m2_image_headers",
+      (s, d) => graft.pipeline.Multimodal.imageHeaderFeatures(
+        Transcripts.table(s, d, "documents"), "doc_id"),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'jpeg' END AS kind,
+        |  CAST(1 + doc_id % 1920 AS INT) AS width,
+        |  CAST(1 + doc_id % 1080 AS INT) AS height,
+        |  CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 50 END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin))
   )
 
   private def allSpecs: Seq[Spec] =

@@ -67,4 +67,68 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.length == 100)
     assert(out.map(_.id).toSet == (0L until 100L).toSet)
   }
+
+  // ---- round-5: real header decode (PNG/GIF/JPEG magic bytes) ----
+
+  test("parseImageHeader: crafted headers round-trip (incl. 16-bit edge dims)") {
+    import Multimodal.{Headers, parseImageHeader}
+    assert(parseImageHeader(Headers.png(1920, 1080)) == Some(("png", 1920, 1080)))
+    assert(parseImageHeader(Headers.gif(1, 1)) == Some(("gif", 1, 1)))
+    assert(parseImageHeader(Headers.gif(65535, 65535)) == Some(("gif", 65535, 65535)))
+    assert(parseImageHeader(Headers.jpeg(640, 480)) == Some(("jpeg", 640, 480)))
+    assert(parseImageHeader(Headers.jpeg(65535, 1)) == Some(("jpeg", 65535, 1)))
+    // PNG dims are u32 big-endian — above the u16 range
+    assert(parseImageHeader(Headers.png(100000, 2)) == Some(("png", 100000, 2)))
+  }
+
+  test("parseImageHeader: hand-built byte literals (spec offsets, not builder echoes)") {
+    import Multimodal.parseImageHeader
+    // PNG: sig + IHDR with width 2, height 3 at offsets 16/20
+    val png = Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 2, 0, 0, 0, 3, 8, 6, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    assert(parseImageHeader(png) == Some(("png", 2, 3)))
+    // GIF87a: width 258 (0x0102 LE → bytes 02 01), height 772 (0x0304)
+    val gif = Array[Int]('G', 'I', 'F', '8', '7', 'a',
+      0x02, 0x01, 0x04, 0x03, 0, 0, 0).map(_.toByte)
+    assert(parseImageHeader(gif) == Some(("gif", 258, 772)))
+    // JPEG with fill bytes before SOF2 (progressive): height 5, width 7
+    val jpg = Array[Int](0xFF, 0xD8,
+      0xFF, 0xFF, 0xFF, 0xC2, 0x00, 0x0B, 8, 0, 5, 0, 7, 1, 1, 0x11, 0,
+      0xFF, 0xD9).map(_.toByte)
+    assert(parseImageHeader(jpg) == Some(("jpeg", 7, 5)))
+  }
+
+  test("parseImageHeader: rejects corrupt / truncated / non-image payloads") {
+    import Multimodal.{Headers, parseImageHeader}
+    assert(parseImageHeader("not an image at all......".getBytes) == None)
+    assert(parseImageHeader(Headers.png(4, 4).take(20)) == None)    // truncated IHDR
+    assert(parseImageHeader(Array[Byte](0xFF.toByte, 0xD8.toByte)) == None) // bare SOI
+    // JPEG whose stream hits SOS before any SOF
+    val noSof = Array[Int](0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02).map(_.toByte)
+    assert(parseImageHeader(noSof) == None)
+    // marker desync (non-FF where a marker must start)
+    val desync = Array[Int](0xFF, 0xD8, 0x00, 0xC0, 0, 0).map(_.toByte)
+    assert(parseImageHeader(desync) == None)
+    // DHT (C4) must NOT be taken for a frame header
+    val dhtOnly = Array[Int](0xFF, 0xD8, 0xFF, 0xC4, 0x00, 0x04, 0, 0, 0xFF, 0xD9).map(_.toByte)
+    assert(parseImageHeader(dhtOnly) == None)
+  }
+
+  test("HeaderCodec end-to-end: real dims through the Spark pipeline; unknown keeps kind") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Multimodal.imageHeaderFeatures(df, "doc_id").orderBy("id").collect()
+    got.foreach { r =>
+      val id = r.getAs[Long]("id")
+      val wantKind = (id % 3) match { case 0 => "png"; case 1 => "gif"; case _ => "jpeg" }
+      assert(r.getAs[String]("kind") == wantKind)
+      assert(r.getAs[Int]("width") == (1 + id % 1920).toInt, s"id=$id")
+      assert(r.getAs[Int]("height") == (1 + id % 1080).toInt, s"id=$id")
+    }
+    // an unparseable payload keeps the carried kind and 0×0 dims
+    val junk = Multimodal.HeaderCodec.decode(
+      Multimodal.MediaRow(9L, "audio", "RIFFnotparsed".getBytes))
+    assert(junk.kind == "audio" && junk.width == 0 && junk.height == 0)
+  }
 }
