@@ -1360,37 +1360,50 @@ object DriverQueries {
   )
 
   // ---- batch 6: Structured Streaming surface ----
-  // Each gate feeds the documents corpus through a MemoryStream in several
-  // micro-batches (driver-side feeding is the fixture mechanism, not a data
-  // path) and hash-compares the STREAMING result against a batch SQL oracle.
+  // Round-5 (r04 VERDICT #4): each gate streams from a parquet FILE source
+  // — batches are executor-side parquet writes into a watched dir, with
+  // explicit processAllAvailable() barriers preserving cross-batch order —
+  // so the fixture mechanism is the same data path the engine runs in
+  // production and the gates stay meaningful at every scale point (the old
+  // driver-side MemoryStream deserialized the whole corpus per task and was
+  // skipped at sf10). Output goes through a parquet sink where the mode
+  // allows (st1/st4); the complete-mode st2 keeps the tiny memory sink.
 
   private def memQueryName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  private def streamTmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
 
   val specs6: Seq[Spec] = Seq(
 
     // ST1 — streaming exact dedup: first-seen content hash wins across
     // micro-batches (stateful dropDuplicates). Batch 1 = originals; batch 2
     // = exact copies (must be suppressed by state) + near-dups with one
-    // appended token (new hashes, must pass).
+    // appended token (new hashes, must pass). Both batches are DERIVED
+    // column-side (no driver collect) and written as files.
     Spec("st1_stream_dedup",
       (s, d) => {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val base = Transcripts.table(s, d, "documents").select("doc_id", "text")
-          .as[(Long, String)].collect().sortBy(_._1).toSeq
-        val batch2 = base.filter(_._1 < 25).map { case (id, t) => (id + 100000L, t) } ++
-          base.filter(x => x._1 >= 25 && x._1 < 50).map { case (id, t) => (id + 200000L, t + " xnearx") }
-        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-        val out = graft.streaming.Streams.dedupByContent(
-          stream.toDF().toDF("id", "text"), "id", "text")
-        val qn = memQueryName("st1")
-        val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+        val docs = Transcripts.table(s, d, "documents")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val b2 = docs.filter(col("id") < 25)
+          .select((col("id") + 100000L).as("id"), col("text"))
+          .unionByName(docs.filter(col("id") >= 25 && col("id") < 50)
+            .select((col("id") + 200000L).as("id"),
+              concat(col("text"), lit(" xnearx")).as("text")))
+        val inDir = streamTmp("graft-st1-in")
+        val outDir = streamTmp("graft-st1-out")
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(inDir)
+        val q = graft.streaming.Streams.dedupByContent(src, "id", "text")
+          .writeStream.format("parquet").outputMode("append")
+          .option("path", outDir)
+          .option("checkpointLocation", streamTmp("graft-st1-ck")).start()
         try {
-          stream.addData(base); q.processAllAvailable()
-          stream.addData(batch2); q.processAllAvailable()
+          docs.repartition(4).write.mode("append").parquet(inDir); q.processAllAvailable()
+          b2.repartition(4).write.mode("append").parquet(inDir); q.processAllAvailable()
         } finally q.stop()
-        s.table(qn)
+        s.read.parquet(outDir)
       },
       Some("""SELECT doc_id AS id, md5(text) AS text_hash FROM documents
         |UNION ALL
@@ -1405,24 +1418,31 @@ object DriverQueries {
     // which the threshold drops in both engines identically).
     Spec("st4_stream_match",
       (s, d) => {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val rows = Transcripts.table(s, d, "documents").select("doc_id", "text")
-          .as[(Long, String)].collect().sortBy(_._1).toSeq
-        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+        val docs = Transcripts.table(s, d, "documents")
+          .select(col("doc_id").cast("long").as("id"), col("text"))
+        val inDir = streamTmp("graft-st4-in")
+        val outDir = streamTmp("graft-st4-out")
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(inDir)
         val out = graft.streaming.Streams.topicMatches(
-          stream.toDF().toDF("id", "text"), "id", "text",
+          src, "id", "text",
           topics, dict(s, d), corpusStats(s, d),
           Scoring.BM25c(0.9, 0.4), minScore = 0.0, floatBoundary = false)
           .select(col("id"), col("qid"), round(col("score"), 4).as("score"))
-        val qn = memQueryName("st4")
-        val q = out.writeStream.format("memory").queryName(qn).outputMode("append").start()
+        val q = out.writeStream.format("parquet").outputMode("append")
+          .option("path", outDir)
+          .option("checkpointLocation", streamTmp("graft-st4-ck")).start()
         try {
-          val (b1, b2) = rows.splitAt(rows.size / 2)
-          stream.addData(b1); q.processAllAvailable()
-          stream.addData(b2); q.processAllAvailable()
+          // stateless per-batch map: the split is arbitrary — parity keeps
+          // both batches derived executor-side
+          docs.filter(col("id") % 2 === 0).repartition(4)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+          docs.filter(col("id") % 2 === 1).repartition(4)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable()
         } finally q.stop()
-        s.table(qn)
+        s.read.parquet(outDir)
       },
       Some(s"""WITH $CTES,
         |qv(qid, term, mult) AS (SELECT * FROM (VALUES $qValues) AS v(qid, term, mult)),
@@ -1441,19 +1461,23 @@ object DriverQueries {
     // table (append-mode watermark finalization is pinned in StreamingSpec).
     Spec("st2_stream_window",
       (s, d) => {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val rows = Transcripts.table(s, d, "documents").select("doc_id", "text")
-          .as[(Long, String)].collect().sortBy(_._1).toSeq
-        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-        val df = stream.toDF().toDF("doc_id", "text")
+        val docs = Transcripts.table(s, d, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        val inDir = streamTmp("graft-st2-in")
+        val src = s.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", 2).parquet(inDir)
           .withColumn("ts", col("doc_id").cast("timestamp"))
-        val out = graft.streaming.Streams.windowedTokenStats(df, "ts", "text", "60 seconds")
+        val out = graft.streaming.Streams.windowedTokenStats(src, "ts", "text", "60 seconds")
         val qn = memQueryName("st2")
-        val q = out.writeStream.format("memory").queryName(qn).outputMode("complete").start()
+        val q = out.writeStream.format("memory").queryName(qn).outputMode("complete")
+          .option("checkpointLocation", streamTmp("graft-st2-ck")).start()
         try {
-          stream.addData(rows.filter(_._1 < 250)); q.processAllAvailable()
-          stream.addData(rows.filter(_._1 >= 250)); q.processAllAvailable()
+          docs.filter(col("doc_id") < 250).repartition(4)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+          docs.filter(col("doc_id") >= 250).repartition(4)
+            .write.mode("append").parquet(inDir)
+          q.processAllAvailable()
         } finally q.stop()
         s.table(qn)
       },
@@ -1468,18 +1492,25 @@ object DriverQueries {
     Spec("st3_stream_index",
       (s, d) => {
         import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val turns = Transcripts.fromDocuments(s, d).collect().sortBy(_.conv_id).toSeq
-        val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.model.Turn]
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-idx").toString
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
-        val q = graft.streaming.Streams.indexSink(stream.toDS(), dir, docsPerShard = 256,
+        val turns = Transcripts.fromDocuments(s, d)
+        val inDir = streamTmp("graft-st3-in")
+        val dir = streamTmp("graft-stream-idx")
+        val ckpt = streamTmp("graft-stream-ckpt")
+        val src = s.readStream.schema(turns.schema)
+          .option("maxFilesPerTrigger", 2).parquet(inDir)
+          .as[graft.model.Turn]
+        val q = graft.streaming.Streams.indexSink(src, dir, docsPerShard = 256,
             streamToken = ckpt.hashCode.toHexString)
           .option("checkpointLocation", ckpt).start()
         try {
-          val (b1, b2) = turns.splitAt(turns.size / 2)
-          stream.addData(b1); q.processAllAvailable()
-          stream.addData(b2); q.processAllAvailable()
+          // shard-disjoint appends regardless of split: parity halves,
+          // derived executor-side
+          turns.toDF().filter(abs(hash(col("conv_id"))) % 2 === 0)
+            .repartition(4).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
+          turns.toDF().filter(abs(hash(col("conv_id"))) % 2 === 1)
+            .repartition(4).write.mode("append").parquet(inDir)
+          q.processAllAvailable()
         } finally q.stop()
         IndexBuild.load(s, dir).termDocs
           .select(col("docId").as("docid"), col("term"), col("tf"))
