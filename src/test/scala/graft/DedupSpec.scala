@@ -72,6 +72,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("minhashLsh signature pre-filter: output unchanged vs disabled, no UDF in the filter") {
+    import spark.implicits._
+    // corpus with planted near-dups at several similarity levels plus
+    // unrelated docs that still band-collide occasionally
+    val base = (0 until 60).map(i => (i.toLong, randomTokens(80)))
+    val variants = Seq(
+      (200L, base(2)._2),                                  // J = 1
+      (201L, base(5)._2.drop(8) ++ randomTokens(8)),       // high J
+      (202L, base(9)._2.take(40) ++ randomTokens(40)))     // mid J
+    val df = (base.map { case (i, t) => (i, t.mkString(" ")) } ++
+      variants.map { case (i, t) => (i, t.mkString(" ")) }).toDF("doc_id", "text")
+    def run(margin: Double) =
+      minhashLsh(df, "doc_id", "text", threshold = 0.5, preFilterMargin = margin,
+          preFilterMinPairs = 0L) // force the adaptive switch ON for the pin
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = run(0.25)
+    val disabled = run(0.5) // cutoff 0 — pre-filter off
+    assert(filtered == disabled,
+      s"pre-filter changed the verified output:\n  missing=${disabled -- filtered}\n  extra=${filtered -- disabled}")
+    // the agreement filter must be column math, not a UDF
+    val plan = minhashLsh(df, "doc_id", "text", threshold = 0.5, preFilterMinPairs = 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF("),
+      s"signature pre-filter must stay codegen'd:\n$plan")
+  }
+
   test("minhashLsh caches only (id, sig) — shingle sets are never pinned") {
     import spark.implicits._
     val texts = (0 until 20).map(i => (i.toLong, randomTokens(40).mkString(" ")))
