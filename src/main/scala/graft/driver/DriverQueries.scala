@@ -1779,7 +1779,20 @@ object DriverQueries {
     "settled" -> "settle", "struggled" -> "struggle",
     "retrieved" -> "retrieve", "consumed" -> "consume",
     "competing" -> "compete", "subscribed" -> "subscribe",
-    "welcomed" -> "welcome")
+    "welcomed" -> "welcome",
+    // round-5 growth: new e-final heads, -sses arbitration, protected
+    // function words, and further irregular conflations
+    "noticed" -> "notice", "services" -> "service", "practiced" -> "practice",
+    "emphasized" -> "emphasize", "encouraging" -> "encourage",
+    "collapsed" -> "collapse", "devised" -> "devise",
+    "finesses" -> "finesse", "pipelines" -> "pipeline",
+    "templates" -> "template", "outsourced" -> "outsource",
+    "streamlined" -> "streamline", "sentences" -> "sentence",
+    "these" -> "these", "whereas" -> "whereas",
+    "goes" -> "go", "heroes" -> "hero", "echoes" -> "echo",
+    "became" -> "become", "froze" -> "freeze", "struck" -> "strike",
+    "heard" -> "hear", "sought" -> "seek", "hidden" -> "hide",
+    "spent" -> "spend", "woke" -> "wake")
 
   /** Topics over the natural document fields: content words plus `source` /
    * `lang` metadata values (src0..src19, en/es/de/zh…). */
