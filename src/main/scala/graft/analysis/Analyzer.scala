@@ -66,7 +66,16 @@ object Analyzer {
      * not reproduced — those scripts word-break as maximal runs, like the
      * standard tokenizer; for space-delimited scripts the chains agree. */
     case object ICU extends Tag { val name = "ICU" }
-    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball, KStem, Latin, ASCII, UAX, ICU)
+    /** Reference NoStemTurkish chain (`Analyzers.java:176-181`): standard
+     * tokenizer → apostrophe → turkishlowercase. The rule-based half of the
+     * Turkish family — the zemberek / Turkish-Hunspell dictionary stemmers
+     * stay out of scope (documented in SURVEY §8). */
+    case object NoStemTurkish extends Tag { val name = "NoStemTurkish" }
+    /** Reference F5 chain (`Analyzers.java:169-174`): NoStemTurkish +
+     * truncate(prefixLength = 5) — fixed-prefix pseudo-stemming. */
+    case object F5 extends Tag { val name = "F5" }
+    val all: Seq[Tag] = Seq(NoStem, NoStemPossessive, Snowball, KStem, Latin, ASCII, UAX, ICU,
+      NoStemTurkish, F5)
     def of(name: String): Tag = all.find(_.name.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(s"unknown analyzer tag: $name"))
   }
@@ -153,9 +162,53 @@ object Analyzer {
     else token
   }
 
+  /** Lucene ApostropheFilter semantics (`apostrophe` chain component of
+   * the Turkish tags): drop the FIRST apostrophe (' or ’) and everything
+   * after it — "türkiye'nin" → "türkiye". */
+  def stripApostropheSuffix(token: String): String = {
+    var i = 0
+    while (i < token.length) {
+      val c = token.charAt(i)
+      if (c == '\'' || c == 0x2019) return token.substring(0, i)
+      i += 1
+    }
+    token
+  }
+
+  /** Lucene TurkishLowerCaseFilter semantics: İ (U+0130) → i,
+   * I → ı (U+0131) UNLESS followed by COMBINING DOT ABOVE (U+0307), in
+   * which case I+◌̇ → i (the dot is consumed); all other code points take
+   * the standard per-codepoint lowercase. */
+  def turkishLowercase(token: String): String = {
+    val sb = new java.lang.StringBuilder(token.length)
+    var i = 0
+    while (i < token.length) {
+      val cp = token.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (cp == 0x0130) { sb.append('i'); i += w }
+      else if (cp == 'I') {
+        if (i + w < token.length && token.codePointAt(i + w) == 0x0307) {
+          sb.append('i'); i += w + 1
+        } else { sb.append('ı'); i += w }
+      } else { sb.appendCodePoint(Character.toLowerCase(cp)); i += w }
+    }
+    sb.toString
+  }
+
   /** Full analysis chain for a tag: tokenize → lowercase → (possessive). */
   def analyze(text: String, tag: Tag = Tag.NoStem): Seq[String] = {
     if (tag == Tag.UAX) return uaxTokenize(text) // its own tokenizer — skip the standard pass
+    if (tag == Tag.NoStemTurkish || tag == Tag.F5) {
+      // Turkish chain: apostrophe strip BEFORE its own casing (the
+      // standard lowercase would fold I → i and lose the dotless ı)
+      val out = Vector.newBuilder[String]
+      foreachTokenRange(text) { (s, e) =>
+        val t = turkishLowercase(stripApostropheSuffix(text.substring(s, e)))
+        if (t.nonEmpty)
+          out += (if (tag == Tag.F5 && t.length > 5) t.substring(0, 5) else t)
+      }
+      return out.result()
+    }
     val base = Vector.newBuilder[String]
     foreachTokenRange(text)((s, e) => base += lowercased(text, s, e))
     tag match {
@@ -171,8 +224,8 @@ object Analyzer {
         base.result().filter(_.forall(_ < 0x80)).map(KStem.stem).filter(_.nonEmpty)
       case Tag.ICU =>
         base.result().map(KStem.stem).filter(_.nonEmpty)
-      case Tag.UAX =>
-        throw new IllegalStateException("unreachable: UAX handled above")
+      case Tag.UAX | Tag.NoStemTurkish | Tag.F5 =>
+        throw new IllegalStateException("unreachable: handled above")
     }
   }
 

@@ -2302,6 +2302,18 @@ object DriverQueries {
 
   // ---- batch 11 (round 5): early-terminating fielded retrieval ----
 
+  /** (input, expected NoStemTurkish analysis, expected F5 analysis) —
+   * hand-written from the Lucene apostrophe / turkishlowercase / truncate
+   * filter semantics. */
+  private val turkishGolden: Seq[(String, String, String)] = Seq(
+    ("Türkiye'nin başkenti", "türkiye başkenti", "türki başke"),
+    ("İstanbul IRMAK", "istanbul ırmak", "istan ırmak"),
+    ("DIŞİŞLERİ", "dışişleri", "dışiş"),
+    ("Ankara’dan geldi", "ankara geldi", "ankar geldi"),
+    ("izmir", "izmir", "izmir"),
+    ("O'nun evi", "o evi", "o evi"),
+    ("ILIK su", "ılık su", "ılık su"))
+
   val specs11: Seq[Spec] = Seq(
     // R3c — the SAME fielded DisMax result as r3, produced by the
     // early-terminating block-max WAND over per-(field, term) posting
@@ -2313,6 +2325,28 @@ object DriverQueries {
             topics, Scoring.BM25c(0.9, 0.4), K, rounded = Some(4))
           .withColumnRenamed("docId", "docid"),
       Some(r3OracleSql)),
+
+    // G3 — rule-based Turkish analyzer tags (round-4 VERDICT #8,
+    // Analyzers.java:169-181): apostrophe + turkishlowercase (+ truncate-5
+    // for F5), against hand-written expected analyses. Inputs exercise the
+    // İ→i / I→ı casing, apostrophe suffixes (both ' and ’), and the 5-char
+    // truncation boundary.
+    Spec("g3_turkish_tags",
+      (s, d) => {
+        import s.implicits._
+        turkishGolden.map(_._1).toDF("word")
+          .as[String]
+          .map(w => (w,
+            Analyzer.analyze(w, Analyzer.Tag.NoStemTurkish).mkString(" "),
+            Analyzer.analyze(w, Analyzer.Tag.F5).mkString(" ")))
+          .toDF("word", "nostemturkish", "f5")
+      },
+      Some {
+        def q(s: String) = s.replace("'", "''") // SQL-literal apostrophe escape
+        val rows = turkishGolden
+          .map { case (w, ns, f5) => s"('${q(w)}', '${q(ns)}', '${q(f5)}')" }.mkString(", ")
+        s"SELECT word, nostemturkish, f5 FROM (VALUES $rows) AS v(word, nostemturkish, f5)"
+      }),
 
     // M2 — REAL multimodal decode (round-4 VERDICT #3): PNG/GIF/JPEG
     // header bytes built per-document (format cycling by id, dims derived

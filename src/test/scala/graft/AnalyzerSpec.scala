@@ -88,6 +88,34 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(Analyzer.analyze("children's", Analyzer.Tag.KStem) == Seq("child"))
   }
 
+  test("NoStemTurkish tag: apostrophe + turkishlowercase (Analyzers.java:176-181)") {
+    import Analyzer.Tag
+    // apostrophe filter drops the suffix INCLUDING the apostrophe
+    assert(Analyzer.analyze("Türkiye'nin başkenti", Tag.NoStemTurkish)
+      == Seq("türkiye", "başkenti"))
+    // Turkish casing: İ → i, I → ı (NOT i)
+    assert(Analyzer.analyze("İstanbul IRMAK", Tag.NoStemTurkish)
+      == Seq("istanbul", "ırmak"))
+    assert(Analyzer.analyze("DIŞİŞLERİ", Tag.NoStemTurkish) == Seq("dışişleri"))
+    // I + combining dot above is consumed into i
+    // (filter-level: the standard word-break splits on combining marks,
+    // so the decomposed sequence only reaches the filter directly)
+    assert(Analyzer.turkishLowercase("I\u0307stanbul") == "istanbul")
+    assert(Analyzer.stripApostropheSuffix("o'clock'ish") == "o")
+    // the standard chain folds I → i — the Turkish chain must not
+    assert(Analyzer.analyze("IRMAK", Tag.NoStem) == Seq("irmak"))
+    // typographic apostrophe ’ also cuts
+    assert(Analyzer.analyze("Ankara’dan", Tag.NoStemTurkish) == Seq("ankara"))
+  }
+
+  test("F5 tag: Turkish chain + 5-char prefix truncate (Analyzers.java:169-174)") {
+    import Analyzer.Tag
+    assert(Analyzer.analyze("İstanbul'daki lale", Tag.F5) == Seq("istan", "lale"))
+    assert(Analyzer.analyze("başkenti ev", Tag.F5) == Seq("başke", "ev"))
+    // exactly 5 chars passes untouched
+    assert(Analyzer.analyze("izmir", Tag.F5) == Seq("izmir"))
+  }
+
   test("scriptOf edge cases (T4, Indexer.java:113-119)") {
     assert(Analyzer.scriptOf("hello") == "ascii")
     assert(Analyzer.scriptOf("héllo") == "other")  // Latin but not Basic-Latin
