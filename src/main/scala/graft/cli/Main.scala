@@ -26,7 +26,7 @@ object Main {
   /** Bare flags are mapped to "true" under their stripped key FIRST, then the
    * remaining args pair up key/value — so a flag never swallows the next
    * option (`index --input X --sorted --out Y` keeps both sorted and out). */
-  private val FLAGS = Set("--sorted", "--uniq", "--resume")
+  private val FLAGS = Set("--sorted", "--uniq", "--resume", "--blocks", "--blockmax")
   private def parseArgs(args: Array[String]): Map[String, String] = {
     val (flags, kvs) = args.partition(FLAGS.contains)
     require(kvs.length % 2 == 0, s"dangling option in: ${kvs.mkString(" ")}")
@@ -169,10 +169,15 @@ object Main {
           }
         }
         val t0 = System.nanoTime()
-        graft.index.FieldedIndex.build(
+        val fidxBuilt = graft.index.FieldedIndex.build(
           graft.index.FieldedIndex.fromTurns(turns, tag), outDir,
           shards = opt.getOrElse("shards", "0").toInt)
-        println(s"""{"fielded_index":"$outDir","sec":${(System.nanoTime() - t0) / 1e9}}""")
+        // --blocks: additionally cut the per-(field, term) block-max stage
+        // (fdocs + fblocks) so search-fielded --blockmax can early-terminate
+        if (opt.contains("blocks"))
+          graft.index.FieldedBlocks.build(fidxBuilt, outDir,
+            docsPerShard = opt.getOrElse("docs-per-shard", (1L << 20).toString).toLong)
+        println(s"""{"fielded_index":"$outDir","blocks":${opt.contains("blocks")},"sec":${(System.nanoTime() - t0) / 1e9}}""")
 
       case "search-fielded" =>
         // DisMax + minimum-should-match over a prebuilt fielded index;
@@ -197,8 +202,18 @@ object Main {
           }.toMap)
           .getOrElse(Map.empty)
         val t0 = System.nanoTime()
-        val ranked = graft.query.Fielded.searchIndexed(fidx, topics, model,
-          k = opt.getOrElse("k", "1000").toInt, boosts = boosts, tag = tag)
+        // --blockmax: early-terminating WAND over the prebuilt block stage
+        // (requires index-fielded --blocks); same ranking as the flat path
+        val ranked =
+          if (opt.contains("blockmax")) {
+            require(graft.index.FieldedBlocks.exists(spark, opt("index")),
+              s"no fielded block stage at ${opt("index")} — build with index-fielded --blocks")
+            graft.query.FieldedBlockMax.search(
+              graft.index.FieldedBlocks.load(spark, opt("index")), topics, model,
+              k = opt.getOrElse("k", "1000").toInt, boosts = boosts, tag = tag)
+          } else
+            graft.query.Fielded.searchIndexed(fidx, topics, model,
+              k = opt.getOrElse("k", "1000").toInt, boosts = boosts, tag = tag)
         opt.get("out") match {
           case Some(out) => Trec.writeRun(ranked, model.name, out)
           case None      => ranked.orderBy("qid", "rank").show(50, truncate = false)

@@ -856,6 +856,35 @@ object DriverQueries {
       },
       Some(s1Sql)),
 
+    // IVF-Flat ANN (k-means coarse quantizer on a bounded sample, map-only
+    // cell assignment, probe join), gated on planted recall like s2: an
+    // exact copy of each query vector gets the identical cell assignment
+    // (bit-identical column math), and nprobe=1 probes exactly that cell —
+    // the copy MUST come back at cosine 1.0.
+    Spec("s3_ann_ivf_topk",
+      (s, d) => {
+        val emb = Transcripts.table(s, d, "embeddings").select("vec_id", "embedding")
+        val q = emb.filter(col("vec_id") < 10)
+        val corpus = emb.unionByName(
+          q.select((col("vec_id") + 500000).as("vec_id"), col("embedding")))
+        graft.pipeline.Similarity.ivfTopK(corpus, q, k = 5, cells = 16, nprobe = 1)
+          .filter(col("id") === col("qid") + 500000)
+          .select("qid", "id", "cos")
+      },
+      Some("""SELECT vec_id AS qid, vec_id + 500000 AS id, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+
+    // Same IVF machinery probed EXHAUSTIVELY (nprobe = cells): the
+    // train/assign/probe/rescore pipeline must then reproduce the
+    // brute-force top-k exactly, hash-gated against the s1 oracle.
+    Spec("s3b_ann_ivf_full",
+      (s, d) => {
+        val emb = Transcripts.table(s, d, "embeddings")
+        graft.pipeline.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          cells = 16, nprobe = 16)
+      },
+      Some(s1Sql)),
+
     // Per-doc text-quality statistics (all column math).
     Spec("x1_textstats",
       (s, d) => graft.pipeline.TextAnalysis.textStats(

@@ -135,4 +135,174 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("qid", "id", "rank", "cos")
   }
+
+  // ------------------------------------------------------------- IVF-Flat
+
+  /**
+   * Deterministic driver-side k-means over a bounded corpus sample — the
+   * IVF coarse quantizer. The sample is the `sampleN` rows with the
+   * smallest `hash64(id)` (Spark plans a per-partition top-k + driver
+   * merge — no full sort, scale-safe), re-sorted by id so Lloyd's
+   * iteration order is stable. Vectors are L2-normalized before
+   * clustering (IVF for cosine = k-means on the unit sphere); an empty
+   * cell keeps its previous centroid. All math is double, left-to-right,
+   * so the result is bit-stable across runs and partitionings.
+   *
+   * At 100 TB the sample bound is the point: centroid training touches
+   * `sampleN` vectors regardless of corpus size, and everything after it
+   * is map-only column math plus a broadcast probe join.
+   */
+  def trainCentroids(corpus: DataFrame, cells: Int, dim: Int,
+                     sampleN: Int = 4096, iters: Int = 10,
+                     seed: Long = 42L): Array[Array[Double]] = {
+    val sampled = corpus
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("h", xxhash64(col("id"), lit(seed)))
+      .orderBy("h").limit(sampleN)
+      .select("id", "v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val sample: Array[Array[Double]] = sampled.map { case (_, v) =>
+      var n2 = 0.0
+      var i = 0
+      while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+      val n = math.max(math.sqrt(n2), 1e-12)
+      v.map(_.toDouble / n)
+    }
+    require(sample.nonEmpty, "trainCentroids: empty corpus")
+    // init: evenly spaced sample vectors in id order (deterministic spread)
+    var centroids = Array.tabulate(cells)(c => sample((c.toLong * sample.length / cells).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(cells, dim)(0.0)
+      val counts = Array.fill(cells)(0L)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim && i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(cells) { c =>
+        if (counts(c) == 0L) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid to the UNIT vector v (plain L2 argmin
+   * over −2·(v·c)+|c|²; ties → lowest index). Training-side only. */
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val ct = centroids(c)
+      var dot = 0.0
+      var cn2 = 0.0
+      var i = 0
+      while (i < ct.length) {
+        if (i < v.length) dot += v(i) * ct(i)
+        cn2 += ct(i) * ct(i)
+        i += 1
+      }
+      val d = -2.0 * dot + cn2 // |v̂|² = 1 is constant — dropped from the argmin
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Reduced distances −2·(v·c)/|v| + |c|² of a RAW float vector to every
+   * centroid, in the EXACT FP order of [[ivfCellCol]] (raw-float dot
+   * accumulated left-to-right in double, one divide by the guarded norm,
+   * |c|² folded driver-side) — so scalar and column cell assignments are
+   * bit-identical, asserted in SimilaritySpec. */
+  private def rawCellDistances(v: Seq[Float], centroids: Array[Array[Double]]): Array[Double] = {
+    var n2 = 0.0
+    var i = 0
+    while (i < v.length) { n2 += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.max(math.sqrt(n2), 1e-12)
+    centroids.map { ct =>
+      var dot = 0.0
+      var j = 0
+      while (j < ct.length && j < v.length) { dot += v(j).toDouble * ct(j); j += 1 }
+      val cn2 = ct.map(x => x * x).sum
+      -2.0d * (dot / n) + cn2
+    }
+  }
+
+  /** Scalar cell assignment for a RAW (unnormalized) float vector — test
+   * mirror of [[ivfCellCol]]. */
+  def ivfCell(v: Seq[Float], centroids: Array[Array[Double]]): Int = {
+    val d = rawCellDistances(v, centroids)
+    var best = 0
+    var c = 1
+    while (c < d.length) { if (d(c) < d(best)) best = c; c += 1 }
+    best
+  }
+
+  /**
+   * IVF cell id as PURE COLUMN MATH over the corpus-sized scan (the same
+   * "functions, not UDFs" rule as [[lshBucketCol]]). Per centroid the
+   * reduced distance is −2·(v·c)/|v| + |c|², accumulated left-to-right in
+   * double via `aggregate(zip_with)` — bit-identical FP order to
+   * [[ivfCell]]'s loop (|c|² is folded to a literal on the driver).
+   * Argmin with lowest-index tie-break via `array_min` over
+   * (dist, idx) structs — struct ordering is lexicographic.
+   */
+  def ivfCellCol(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val norm = greatest(normCol(vec), lit(1e-12))
+    val entries = centroids.zipWithIndex.map { case (ct, idx) =>
+      val row = array(ct.map(lit): _*)
+      val dot = aggregate(
+        zip_with(vec, row, (x, y) => coalesce(x.cast("double") * y, lit(0.0d))),
+        lit(0.0d), (acc, v) => acc + v)
+      val cn2 = ct.map(x => x * x).sum
+      struct((lit(-2.0d) * (dot / norm) + lit(cn2)).as("dist"), lit(idx).as("idx"))
+    }
+    array_min(array(entries: _*)).getField("idx")
+  }
+
+  /** The `nprobe` nearest cells to a raw query vector, nearest first
+   * (ties → lowest index; distances via [[rawCellDistances]], so probe
+   * cell 0 always equals the vector's own [[ivfCell]] assignment). */
+  def probeCells(v: Seq[Float], centroids: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    rawCellDistances(v, centroids).zipWithIndex.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /**
+   * IVF-Flat ANN: k-means coarse quantizer (driver-trained on a bounded
+   * sample, centroids broadcast as literals), map-only codegen'd cell
+   * assignment on the corpus scan, queries probe their `nprobe` nearest
+   * cells, exact cosine re-score inside probed cells. Cells partition the
+   * corpus (each vector in exactly one), so unlike multi-probe LSH no
+   * candidate dedup is needed. `nprobe = cells` probes everything and must
+   * reproduce [[bruteForceTopK]] exactly (gated). Same output schema as
+   * the other ANN paths; the recall/speed trade is nprobe/cells.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              cells: Int = 16, nprobe: Int = 4, dim: Int = 64,
+              sampleN: Int = 4096, iters: Int = 10, seed: Long = 42L,
+              roundTo: Int = 6,
+              centroidsOpt: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(trainCentroids(corpus, cells, dim, sampleN, iters, seed))
+    val corpusC = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("cell", ivfCellCol(col("v"), centroids))
+    // query side: tiny broadcast frame — the probe expansion keeps the
+    // scalar helper (same split as lshTopK's multi-probe).
+    val probes = udf { (qv: Seq[Float]) => probeCells(qv, centroids, nprobe) }
+    val queryC = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("cell", explode(probes(col("qv"))))
+    val joined = corpusC.join(broadcast(queryC.select("cell", "qid")), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qv"))),
+        Seq("qid"))
+      .withColumn("cos", round(cosineCol(col("v"), col("qv")), roundTo))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("id").asc)
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "id", "rank", "cos")
+  }
 }

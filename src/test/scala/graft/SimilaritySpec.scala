@@ -89,4 +89,69 @@ class SimilaritySpec extends AnyFunSuite {
     val r = Similarity.bruteForceTopK(two, two.filter(col("vec_id") === 0), k = 1).collect().head
     assert(r.getDouble(3) == 1.0)
   }
+
+  // ---------------------------------------------------------------- IVF
+
+  test("trainCentroids is deterministic and returns `cells` centroids") {
+    val a = Similarity.trainCentroids(df, cells = 8, dim = DIM, sampleN = 64)
+    val b = Similarity.trainCentroids(df, cells = 8, dim = DIM, sampleN = 64)
+    assert(a.length == 8 && a.forall(_.length == DIM))
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
+  test("ivfCellCol (codegen'd column math) ≡ ivfCell bit-for-bit; no UDF on the corpus scan") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Similarity.trainCentroids(df, cells = 8, dim = DIM, sampleN = 64)
+    val got = df.select(col("vec_id"),
+        Similarity.ivfCellCol(col("embedding"), centroids).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == Similarity.ivfCell(v.toSeq, centroids), s"cell diverged for vec $id")
+    }
+    val plan = df.select(Similarity.ivfCellCol(col("embedding"), centroids).as("cell"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), s"UDF in the cell scan:\n$plan")
+  }
+
+  test("probeCells: nearest probe is the vector's own cell; nprobe=cells covers all cells") {
+    val centroids = Similarity.trainCentroids(df, cells = 8, dim = DIM, sampleN = 64)
+    vecs.take(20).foreach { case (_, v) =>
+      assert(Similarity.probeCells(v.toSeq, centroids, 1).head == Similarity.ivfCell(v.toSeq, centroids))
+    }
+    assert(Similarity.probeCells(vecs.head._2.toSeq, centroids, 8).sorted == (0 until 8))
+  }
+
+  test("IVF with exhaustive probing reproduces brute force exactly") {
+    import org.apache.spark.sql.functions.col
+    val queries = df.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(df, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    val ivf = Similarity.ivfTopK(df, queries, k = 5, cells = 8, nprobe = 8, dim = DIM, sampleN = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).sorted.toSeq
+    assert(ivf == brute)
+  }
+
+  test("IVF planted copy comes back at cosine 1.0 with nprobe=1") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val queries = df.filter(col("vec_id") < 10)
+    val copies = vecs.take(10).map { case (id, v) => (id + 500000L, v) }
+    val corpus = df.unionByName(copies.toDF("vec_id", "embedding"))
+    val got = Similarity.ivfTopK(corpus, queries, k = 5, cells = 8, nprobe = 1, dim = DIM, sampleN = 64)
+      .filter(col("id") === col("qid") + 500000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toMap
+    (0L until 10L).foreach { q => assert(got.get(q).contains(1.0), s"planted copy lost for query $q") }
+  }
+
+  test("IVF partial probing beats the probed-cell-fraction recall baseline") {
+    import org.apache.spark.sql.functions.col
+    val queries = df.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(df, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(df, queries, k = 5, cells = 8, nprobe = 2, dim = DIM, sampleN = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    // probing 2 of 8 cells at random would give ~25%; the quantizer must beat it
+    assert(recall >= 0.4, s"recall $recall")
+  }
 }
