@@ -30,10 +30,14 @@ object DenseIds {
   /** Append `idName: long` numbering rows 0..n-1 in ascending order of the
    * given columns.
    *
-   * @param assumeSorted input partitions already hold contiguous, globally
-   *   ordered ranges of the key (e.g. a lake table cluster-sorted by the
+   * @param assumeSorted input partitions already hold contiguous, DISJOINT
+   *   sorted ranges of the key (e.g. a lake table cluster-sorted by the
    *   stable turn ordering) — skips the range shuffle entirely; rows are
-   *   only locally sorted (a no-op pass on truly sorted data).
+   *   only locally sorted (a no-op pass on truly sorted data). Partition
+   *   INDEX order need not follow key order: a file scan of a sorted lake
+   *   table packs splits by size, presenting the ranges in arbitrary task
+   *   order — offsets are assigned in min-key order, so numbering is
+   *   correct as long as the ranges don't overlap.
    */
   def assign(df: DataFrame, idName: String, order: Column*): DataFrame =
     assign(df, idName, assumeSorted = false, order: _*)
@@ -67,8 +71,21 @@ object DenseIds {
     val ranged = if (assumeSorted) ranged0
       else ranged0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
 
-    val counts = ranged.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // One columnar pass collects per-partition (count, min key). Offsets
+    // accumulate in MIN-KEY order, not partition-index order: a sorted lake
+    // table read back through a file scan presents its disjoint sorted
+    // ranges in SPLIT-PACKING order (Spark orders splits by size), so the
+    // partition index is a permutation of the key order. Range order ==
+    // pid order after repartitionByRange, so the unsorted path is
+    // unaffected; the tie-break on pid is unreachable there (equal keys
+    // land in one range partition) and harmless on the sorted path (strict
+    // in-partition sort + disjointness make first keys distinct).
+    val counts = ranged
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n"), min(struct(order: _*)).as("firstKey"))
+      .orderBy(col("firstKey"), col("pid")) // tiny: one row per partition
+      .select("pid", "n")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
     counts.foreach { case (pid, n) =>
       require(n <= LocalIdxMask,
         s"partition $pid has $n rows, exceeding monotonically_increasing_id's " +

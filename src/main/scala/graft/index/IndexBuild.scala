@@ -120,12 +120,15 @@ object IndexBuild {
     val postingsDir = s"$indexDir/postings"
     val manifestDir = s"$indexDir/manifest"
 
-    // inputSorted trusts partition order AS docId-string order — the
+    // inputSorted trusts in-partition order AS docId-string order — the
     // engine's canonical tie-break order (exact path, BMW heap, windows).
     // Validate it with one narrow pass (docId column only): per-partition
-    // strict monotonicity + cross-partition boundary order. A numeric
-    // (conv_id, turn_idx) sort with turn_idx ≥ 10 would fail here ("c#10"
-    // sorts before "c#2" numerically but after as a string).
+    // strict monotonicity + DISJOINT ranges across partitions, checked in
+    // key order rather than partition-index order (a file scan of a sorted
+    // lake table packs splits by size, so the sorted ranges arrive in
+    // arbitrary task order — DenseIds numbers them in min-key order). A
+    // numeric (conv_id, turn_idx) sort with turn_idx ≥ 10 would fail here
+    // ("c#10" sorts before "c#2" numerically but after as a string).
     if (inputSorted && !stageDone(spark, s"$indexDir/docs")) {
       val docIdCol = concat(col("conv_id"), lit("#"), col("turn_idx").cast("string"))
       val bounds = turns.toDF().select(docIdCol.as("docId"))
@@ -138,13 +141,13 @@ object IndexBuild {
             last = d
           }
           if (first == null) Iterator.empty else Iterator((pi, first, last, sorted))
-        }.collect().sortBy(_._1)
+        }.collect().sortBy(b => (b._2, b._1))
       bounds.foreach { case (pi, _, _, sorted) =>
         require(sorted, s"inputSorted=true but partition $pi is not strictly sorted by docId string") }
       bounds.sliding(2).foreach {
         case Array((_, _, lastA, _), (pi, firstB, _, _)) =>
           require(lastA < firstB,
-            s"inputSorted=true but partition $pi starts at '$firstB' ≤ previous partition's last '$lastA'")
+            s"inputSorted=true but partition $pi's range [$firstB, …] overlaps a sibling ending at '$lastA'")
         case _ =>
       }
     }

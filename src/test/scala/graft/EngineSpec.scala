@@ -272,6 +272,31 @@ class EngineSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("sorted build survives partitions arriving out of key order (file-scan split packing)") {
+    import spark.implicits._
+    // a sorted lake table read back through a file scan presents its
+    // disjoint sorted ranges in size-packed (arbitrary) task order —
+    // simulate by permuting the 4 generator partitions
+    val base = turns.rdd
+    val perm = Seq(2, 0, 3, 1)
+    val shuffledParts = spark.sparkContext.union(
+      perm.map(p => org.apache.spark.rdd.PartitionPruningRDD.create(base, _ == p)))
+    val permuted = spark.createDataset(shuffledParts)
+    val dir = Files.createTempDirectory("graft-permuted").toString
+    IndexBuild.build(permuted, dir, docsPerShard = 100, inputSorted = true)
+    def fp(d: String) = IndexBuild.load(spark, d).termDocs
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).sorted.toSeq
+    assert(fp(dir) == fp(indexDir))
+    // overlapping ranges must still be rejected: partition 0 twice overlaps
+    val overlapping = spark.createDataset(spark.sparkContext.union(
+      Seq(0, 0).map(p => org.apache.spark.rdd.PartitionPruningRDD.create(base, _ == p))))
+    val dir2 = Files.createTempDirectory("graft-overlap").toString
+    val e = intercept[IllegalArgumentException] {
+      IndexBuild.build(overlapping, dir2, docsPerShard = 100, inputSorted = true)
+    }
+    assert(e.getMessage.contains("overlaps"))
+  }
+
   test("hot-term skew: a 90%-df stopword spreads evenly across shards (FIXTURES.md §6)") {
     import spark.implicits._
     // corpus where 'hotstop' appears in 90% of turns
