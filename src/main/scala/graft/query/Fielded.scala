@@ -119,13 +119,25 @@ object Fielded {
       .join(broadcast(fieldStats), Seq("field"))
       .withColumn("s", boostCol * model.expr(in).cast("float").cast("double"))
 
-    // DisjunctionMax per (qid, docId, term): max + tie*(sum-max)
+    // DisjunctionMax per (qid, docId, term): max + tie*(sum-max). The sum
+    // runs in CANONICAL FIELD ORDER (array_sort on (field, s) structs —
+    // UTF8 binary order), not Spark's arbitrary aggregation order: double
+    // addition is non-associative, so an unordered sum() is ULP-
+    // nondeterministic across partitionings. FieldedBlockMax accumulates
+    // its per-field scores in the same order, making the two paths (and
+    // repeated runs of this one) bit-identical, not merely ULP-close —
+    // measured at 8M docs, unordered sums diverged on 67 of 152k run rows.
+    val orderedSum = (pairs: Column, valueField: String) =>
+      aggregate(array_sort(pairs), lit(0.0d), (acc, x) => acc + x.getField(valueField))
     val perTerm = perField.groupBy("qid", "docId", "term")
       .agg(first("mult").as("mult"), first("nTerms").as("nTerms"),
-        max("s").as("mx"), sum("s").as("sm"))
+        max("s").as("mx"),
+        orderedSum(collect_list(struct(col("field"), col("s"))), "s").as("sm"))
       .withColumn("termScore", (col("mx") + lit(tie) * (col("sm") - col("mx"))) * col("mult"))
 
-    val scoreCol = rounded.fold(sum("termScore").cast("float"))(nd => round(sum("termScore"), nd))
+    // per-doc sum in canonical TERM order, same reasoning
+    val docSum = orderedSum(collect_list(struct(col("term"), col("termScore"))), "termScore")
+    val scoreCol = rounded.fold(docSum.cast("float"))(nd => round(docSum, nd))
     val perDoc = perTerm.groupBy("qid", "docId")
       .agg(scoreCol.as("score"),
         count(lit(1)).as("matched"), first("nTerms").as("nTerms"))

@@ -36,8 +36,22 @@ import graft.model.{FieldedBlock, Topic}
  * the docId-ascending tie-break to the incumbent — the skip conditions stay
  * exact, and shard-local top-k heaps over disjoint doc ranges merge to the
  * global exact top-k.
+ *
+ * Summation ORDER is canonical on both paths: per-term field scores and
+ * per-doc term scores accumulate in UTF8-binary order (fields / terms),
+ * matching [[Fielded.score]]'s array_sort'ed folds — double addition is
+ * non-associative, so without a fixed order the two paths drift by ULPs
+ * (measured: 67 of 152k run rows at 8M docs). Same-order summation also
+ * tightens soundness: float addition is monotone, so summing per-field
+ * bounds B_f ≥ s_f in the SAME order guarantees the rounded bound sum
+ * dominates the rounded score sum — no last-ULP shortfall possible.
  */
 object FieldedBlockMax {
+
+  /** Spark's array_sort string order (UTF8 binary) — the canonical
+   * field/term summation order shared with [[Fielded.score]]. */
+  private def utf8Key(s: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
 
   /** One (field, term) posting stream: lazily-decoded blocks, block-level
    * skip, per-block upper bound (boost × float(score(maxTf, minDocLen))). */
@@ -92,7 +106,8 @@ object FieldedBlockMax {
    * substreams. curDoc = min over live substreams (a doc matches the term
    * iff ANY field contains it — that is also the msm "matched" notion). */
   private final class FieldedTermStream(subs0: Array[FieldSub],
-                                        val mult: Int, tie: Double) {
+                                        val mult: Int, tie: Double,
+                                        val termKey: org.apache.spark.unsafe.types.UTF8String) {
     private var subs = subs0.filter(!_.exhausted)
     /** (1−tie)·max B + tie·Σ B over per-field global maxima, ×mult. */
     val globalUb: Double = {
@@ -201,9 +216,14 @@ object FieldedBlockMax {
           blockAcc += streams(j).blockUbAt(pivotDoc); j += 1
         }
         if (j >= msm && blockAcc > theta) {
+          // canonical term order (mirrors Fielded.score's ordered per-doc
+          // fold) — j ≤ |query terms|, so the copy+sort is trivial
+          val ms = java.util.Arrays.copyOfRange(streams, 0, j)
+          java.util.Arrays.sort(ms, (a: FieldedTermStream, b: FieldedTermStream) =>
+            a.termKey.compareTo(b.termKey))
           var s = 0d
           var m = 0
-          while (m < j) { s += streams(m).scoreAt(pivotDoc); m += 1 }
+          while (m < ms.length) { s += ms(m).scoreAt(pivotDoc); m += 1 }
           topk.offer(finish(s), pivotDoc)
         }
         var a = 0
@@ -277,7 +297,11 @@ object FieldedBlockMax {
           val msm = Fielded.minimumShouldMatch(terms.head._3)
           val streams = terms.flatMap { case (term, mult, _) =>
             byTerm.get(term).map { byField =>
-              val subs = byField.iterator.flatMap { case (field, blocks) =>
+              // canonical field order — mirrors Fielded.score's ordered
+              // per-term fold (UTF8 binary, same as array_sort)
+              val subs = byField.toArray
+                .sortWith((a, b) => utf8Key(a._1).compareTo(utf8Key(b._1)) < 0)
+                .iterator.flatMap { case (field, blocks) =>
                 // a field absent from boosts scores 0 but still counts for
                 // msm and joins the DisMax group — mirror Fielded.score's
                 // boostCol otherwise(0.0)
@@ -295,7 +319,7 @@ object FieldedBlockMax {
                   new FieldSub(blocks, sAt, ub)
                 }
               }.toArray
-              new FieldedTermStream(subs, mult, tie)
+              new FieldedTermStream(subs, mult, tie, utf8Key(term))
             }
           }.toArray
           if (streams.length < msm || streams.isEmpty) Iterator.empty
