@@ -90,9 +90,17 @@ object ScaleBench {
       }
 
     val t0 = System.nanoTime()
-    IndexBuild.build(turns, idxDir, docsPerShard = 16384, inputSorted = inputSorted)
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"bench":"scale","path":"${if (sorted) "sorted" else "general"}","master":"$master","parallelism":$parallelism,"shuffle_partitions":${spark.sessionState.conf.numShufflePartitions},"turns":$turnsTotal,"sec":$sec,"turns_per_sec":${turnsTotal / sec}}""")
+    try {
+      IndexBuild.build(turns, idxDir, docsPerShard = 16384, inputSorted = inputSorted)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(s"""{"bench":"scale","path":"${if (sorted) "sorted" else "general"}","master":"$master","parallelism":$parallelism,"shuffle_partitions":${spark.sessionState.conf.numShufflePartitions},"turns":$turnsTotal,"sec":$sec,"turns_per_sec":${turnsTotal / sec}}""")
+    } finally {
+      // the measured index is throwaway — 3.2 GB per leg at 16M turns, and
+      // leftovers degrade later legs (round-4's ENOSPC; round-5 measured a
+      // monotone in-session decline with 41 GB of dead dirs accumulated)
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(idxDir)).deleteRecursively()
+    }
     spark.stop()
   }
 }
