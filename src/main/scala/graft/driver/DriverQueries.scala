@@ -952,6 +952,57 @@ object DriverQueries {
         |SELECT doc_id AS id, CAST(sum((length(term) + 3) // 4) AS BIGINT) AS approx_llm_tokens
         |FROM tok GROUP BY doc_id""".stripMargin)),
 
+    // Gopher/C4-style n-gram repetition statistics: top-gram and
+    // duplicated-gram fractions for unigrams and token bigrams, 6-dp
+    // rounded, docs with < 2 tokens reporting bigram fractions 0.
+    Spec("x5_repetition_stats",
+      (s, d) => graft.pipeline.TextAnalysis.repetitionStats(
+        Transcripts.table(s, d, "documents"), "doc_id", "text"),
+      Some("""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), uni AS (
+        |  SELECT doc_id, 1 AS kind, unnest(t) AS gram FROM toks
+        |), bi AS (
+        |  SELECT doc_id, 2 AS kind,
+        |         unnest(list_transform(generate_series(1, len(t) - 1),
+        |                i -> t[i] || ' ' || t[i + 1])) AS gram
+        |  FROM toks WHERE len(t) >= 2
+        |), counts AS (
+        |  SELECT doc_id, kind, gram, count(*) AS n
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi) GROUP BY 1, 2, 3
+        |), per_kind AS (
+        |  SELECT doc_id, kind, max(n) AS topn, sum(n) AS total,
+        |         sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS dupn
+        |  FROM counts GROUP BY 1, 2
+        |)
+        |SELECT doc_id AS id,
+        |  round(coalesce(max(CASE WHEN kind = 1 THEN topn / total END), 0.0), 6) AS top_unigram_frac,
+        |  round(coalesce(max(CASE WHEN kind = 2 THEN topn / total END), 0.0), 6) AS top_bigram_frac,
+        |  round(coalesce(max(CASE WHEN kind = 1 THEN dupn / total END), 0.0), 6) AS dup_unigram_frac,
+        |  round(coalesce(max(CASE WHEN kind = 2 THEN dupn / total END), 0.0), 6) AS dup_bigram_frac
+        |FROM per_kind GROUP BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling / domain mixing: LCG-keyed filter
+    // sampling with per-source target fractions — the EXACT sampled row
+    // set must match the oracle evaluating the same integer arithmetic
+    // (reproducible-dataset-build contract, not a statistical test).
+    Spec("c2_stratified_sample",
+      (s, d) => graft.pipeline.Curation.stratifiedSample(
+          Transcripts.table(s, d, "documents").select("doc_id", "source"),
+          "doc_id", "source",
+          fractions = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 1.0, "src3" -> 0.0),
+          default = 0.1)
+        .select("doc_id", "source"),
+      Some(s"""SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 1103515245 + 12345) % 2147483648 <
+        |  CASE source
+        |    WHEN 'src0' THEN ${(1L << 31) / 2}
+        |    WHEN 'src1' THEN ${(1L << 31) / 4}
+        |    WHEN 'src2' THEN ${1L << 31}
+        |    WHEN 'src3' THEN 0
+        |    ELSE ${math.floor((1L << 31) * 0.1).toLong}
+        |  END""".stripMargin)),
+
     // Embedding-cosine near-dup pairs (exact over a bounded id range —
     // the verification kernel behind cosine-threshold dedup).
     Spec("d5_embedding_neardup",

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -40,5 +40,47 @@ object Curation {
     langFiltered
       .filter(col("quality") >= lit(minQuality)) // quality is already 6-dp rounded
       .select(col("id"), col("lang_pred"), col("quality"))
+  }
+
+  /** LCG-mixed uniform in [0, 2^31) from a numeric row id — BIGINT-exact
+   * arithmetic any SQL engine reproduces bit-for-bit (ids ≤ ~8.4e9 stay
+   * under 2^63 before the mod). */
+  val SAMPLE_MOD: Long = 1L << 31
+  def sampleKeyCol(idCol: Column, seed: Long): Column =
+    pmod(idCol.cast("long") * lit(1103515245L) + lit(seed), lit(SAMPLE_MOD))
+
+  /**
+   * Deterministic stratified sampling / domain mixing — "re-weight the
+   * corpus to target per-source fractions", the step every training-data
+   * pipeline runs between curation and tokenization. Row `id` is mixed
+   * through a fixed LCG into a uniform key and kept iff
+   * `key < floor(2^31 · fraction(stratum))`: the sample is a pure FILTER —
+   * reproducible across runs, engines and partitionings (the property
+   * gates c2 against the SQL oracle), stable under corpus appends (a new
+   * doc never flips an old doc's decision, unlike rand() or reservoir
+   * sampling), and exact-threshold integer math (no float boundary).
+   *
+   * 100 TB shape: thresholds are a broadcast of |strata| rows joined onto
+   * the scan, then a codegen'd filter — map-only, no shuffle, no UDF;
+   * strata absent from `fractions` keep `default`. For CONTENT-keyed
+   * sampling (dedup-stable across id reassignment) substitute
+   * `xxhash64(text)` for the id mix — same plan, engine-specific hash, so
+   * the driver gate uses the id form both engines can compute.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       fractions: Map[String, Double], default: Double = 0.0,
+                       seed: Long = 12345L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      "sampling fractions must be in [0, 1]")
+    val thresholds = fractions.toSeq
+      .map { case (s, f) => (s, math.floor(SAMPLE_MOD * f).toLong) }
+      .toDF(strataCol, "sample_threshold")
+    val defaultThreshold = math.floor(SAMPLE_MOD * default).toLong
+    df.join(broadcast(thresholds), Seq(strataCol), "left")
+      .filter(sampleKeyCol(col(idCol), seed) <
+        coalesce(col("sample_threshold"), lit(defaultThreshold)))
+      .drop("sample_threshold")
   }
 }

@@ -148,4 +148,44 @@ object TextAnalysis {
     val f = udf(approxLlmTokens _)
     df.select(col(idCol).as("id"), f(col(textCol)).as("approx_llm_tokens"))
   }
+
+  /**
+   * Per-doc n-gram repetition statistics — the Gopher/C4-style quality
+   * filters (Rae et al. 2021 §A1.1; "fraction of characters in the most
+   * common n-gram", "fraction in duplicated n-grams") adapted to the
+   * whitespace-token corpus:
+   *
+   *  - `top_unigram_frac` / `top_bigram_frac`: occurrences of the most
+   *    frequent token / token-bigram over all token / bigram slots;
+   *  - `dup_unigram_frac` / `dup_bigram_frac`: fraction of slots whose
+   *    gram occurs more than once in the doc.
+   *
+   * Shape at 100 TB: explode to (id, kind, gram) → ONE hash aggregation on
+   * that key (map-side partial combine collapses each doc's repeats before
+   * the shuffle — the shuffle carries ≤ |distinct grams per doc| rows) →
+   * a per-doc roll-up on the id key. No windows, no joins, no UDFs; docs
+   * with < 2 tokens report bigram fractions of 0 by convention (6-dp
+   * rounded, like every cross-engine-gated ratio).
+   */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val bigrams = when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val uni = df.select(col(idCol).as("id"), lit(1).as("kind"), explode(toks).as("gram"))
+    val bi = df.select(col(idCol).as("id"), lit(2).as("kind"), explode(bigrams).as("gram"))
+    val perKind = uni.unionByName(bi)
+      .groupBy("id", "kind", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("id", "kind").agg(
+        max("n").as("topN"), sum("n").as("total"),
+        sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("dupN"))
+    def frac(kind: Int, num: Column): Column =
+      round(coalesce(max(when(col("kind") === kind, num / col("total"))), lit(0.0)), 6)
+    perKind.groupBy("id").agg(
+      frac(1, col("topN")).as("top_unigram_frac"),
+      frac(2, col("topN")).as("top_bigram_frac"),
+      frac(1, col("dupN")).as("dup_unigram_frac"),
+      frac(2, col("dupN")).as("dup_bigram_frac"))
+  }
 }

@@ -18,6 +18,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.languageOf("xyzzy plugh") == "und")
   }
 
+  test("repetition stats: hand-computed gram fractions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "a b a b a"),   // unigrams a×3 b×2; bigrams: "a b"×2 "b a"×2
+      (2L, "x y z"),       // all unique
+      (3L, "w"),           // single token → bigram fracs 0
+      (4L, "q q q q")      // fully repeated
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((0.6, 0.5, 1.0, 1.0)))        // top uni 3/5, top bi 2/4, all grams dup
+    assert(got(2L) == ((round6(1.0 / 3), 0.5, 0.0, 0.0)))
+    assert(got(3L) == ((1.0, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((1.0, 1.0, 1.0, 1.0)))
+  }
+  private def round6(d: Double): Double = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("stratified sample: deterministic, append-stable, per-stratum fractions honored") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 4000L).map(i => (i, s"src${i % 4}"))
+    val df = rows.toDF("doc_id", "source")
+    val fr = Map("src0" -> 0.5, "src1" -> 0.0, "src2" -> 1.0)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      graft.pipeline.Curation.stratifiedSample(d, "doc_id", "source", fr, default = 0.25)
+        .select("doc_id").as[Long].collect().toSet
+    val s1 = ids(df)
+    assert(s1 == ids(df.repartition(7)), "sample must not depend on partitioning")
+    // append stability: adding rows never flips an existing decision
+    val s2 = ids(rows.++((4000L until 5000L).map(i => (i, s"src${i % 4}"))).toDF("doc_id", "source"))
+    assert(s1.subsetOf(s2))
+    val bySrc = rows.groupBy(_._2).map { case (src, rs) =>
+      src -> rs.count(r => s1.contains(r._1)).toDouble / rs.size }
+    assert(bySrc("src1") == 0.0)
+    assert(bySrc("src2") == 1.0)
+    assert(math.abs(bySrc("src0") - 0.5) < 0.1, s"src0 ${bySrc("src0")}")
+    assert(math.abs(bySrc("src3") - 0.25) < 0.1, s"src3 ${bySrc("src3")} (default fraction)")
+  }
+
   test("rolling fingerprint: stable, order-sensitive, normalization-invariant") {
     val a = TextAnalysis.rollingFingerprint("Hello, World!")
     assert(a == TextAnalysis.rollingFingerprint("hello world"))   // analyzer normalizes
