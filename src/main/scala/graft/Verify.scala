@@ -37,6 +37,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // drop the per-gate stream dirs and index cache dirs this dump created
+    // — repeated driver runs otherwise accumulate corpus-sized /tmp debris
+    graft.driver.DriverQueries.releaseCaches(spark)
     spark.stop()
   }
 }

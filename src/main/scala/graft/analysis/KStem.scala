@@ -77,7 +77,11 @@ object KStem {
     "woke" -> "wake", "woken" -> "wake", "forgot" -> "forget",
     "forgotten" -> "forget", "heard" -> "hear", "sought" -> "seek",
     "fought" -> "fight", "sat" -> "sit", "won" -> "win",
-    "bit" -> "bite", "bitten" -> "bite", "bled" -> "bleed",
+    // "bit" deliberately NOT mapped to "bite": like ground/rose/bound it
+    // is overwhelmingly a noun in technical text, and mapping only the
+    // bare form would split it from "bits" (whose s-rule output "bit"
+    // stays unmapped) — the ambiguous-head-word exclusion policy applies
+    "bitten" -> "bite", "bled" -> "bleed",
     "crept" -> "creep", "dealt" -> "deal", "dug" -> "dig",
     "fled" -> "flee", "hung" -> "hang", "laid" -> "lay",
     "lent" -> "lend", "lit" -> "light", "spun" -> "spin",
@@ -236,88 +240,91 @@ object KStem {
    * head. Pushes lexicon-arbitrated e-restoration coverage further toward
    * the reference KStemFilter's ~30k-entry behavior. */
   private def LexiconGrowth5: Set[String] = Set(
-    "abbreviate", "absolve", "accommodate", "ache", "acknowledge",
-    "activate", "adore", "advocate", "alienate", "allege", "allude",
-    "angle", "animate", "annotate", "annihilate", "apologize", "appraise",
+    "abbreviate", "absolve", "accommodate", "acknowledge", "activate",
+    "adore", "advocate", "alienate", "allege", "allude", "angle",
+    "animate", "annotate", "annihilate", "apologize", "appraise",
     "approximate", "articulate", "assassinate", "assimilate", "attire",
-    "attune", "authenticate", "avenge", "awake", "axe", "babble", "baffle",
-    "baptize", "barbecue", "beverage", "bicycle", "blouse", "boggle",
-    "bore", "braise", "bridle", "bronze", "buckle", "bungle", "calibrate",
-    "candle", "canoe", "capsize", "captivate", "carriage", "cascade",
-    "castle", "catalogue", "chafe", "chance", "chime", "chronicle",
-    "chuckle", "circulate", "civilize", "cleave", "clique", "coincide",
-    "collapse", "colonize", "commemorate", "commence", "compensate",
-    "comprise", "conceive", "concede", "condone", "conjure", "connote",
-    "conserve", "consolidate", "construe", "contemplate", "converse",
-    "convene", "cooperate", "corroborate", "course", "crackle", "cradle",
-    "crease", "cringe", "cripple", "critique", "cruise", "crusade",
-    "cultivate", "culture", "curse", "dangle", "dazzle", "deceive",
-    "decelerate", "decode", "decompose", "dilute", "deflate", "defame",
-    "demote", "denote", "denounce", "deprive", "despise", "deteriorate",
-    "detonate", "devastate", "deviate", "devise", "diagnose",
-    "differentiate", "dilate", "disagree", "discharge", "disclose",
-    "discourage", "disguise", "dislike", "dislodge", "dispense",
-    "disperse", "displace", "dissolve", "doodle", "downgrade", "drizzle",
+    "attune", "authenticate", "avenge", "awake", "axe", "babble",
+    "baffle", "baptize", "barbecue", "beverage", "bicycle", "blouse",
+    "boggle", "bore", "braise", "bridle", "bronze", "buckle", "bungle",
+    "calibrate", "candle", "canoe", "capsize", "captivate", "carriage",
+    "cascade", "castle", "catalogue", "chafe", "chance", "chime",
+    "chronicle", "chuckle", "circulate", "civilize", "cleave",
+    "clique", "coincide", "collapse", "colonize", "commemorate",
+    "commence", "compensate", "comprise", "conceive", "concede",
+    "condone", "conjure", "connote", "conserve", "consolidate",
+    "construe", "contemplate", "converse", "convene", "cooperate",
+    "corroborate", "course", "crackle", "cradle", "crease", "cringe",
+    "cripple", "critique", "cruise", "crusade", "cultivate", "culture",
+    "curse", "dangle", "dazzle", "deceive", "decelerate", "decode",
+    "decompose", "dilute", "deflate", "defame", "demote", "denote",
+    "denounce", "deprive", "despise", "deteriorate", "detonate",
+    "devastate", "deviate", "devise", "diagnose", "differentiate",
+    "dilate", "disagree", "discharge", "disclose", "discourage",
+    "disguise", "dislike", "dislodge", "dispense", "disperse",
+    "displace", "dissolve", "doodle", "downgrade", "drizzle",
     "dwindle", "dye", "eclipse", "elaborate", "elude", "embrace",
-    "emphasize", "empathize", "encase", "enclose", "encourage", "endure",
-    "engrave", "enlarge", "enslave", "enterprise", "entice", "entitle",
-    "envisage", "episode", "equate", "escalate", "evacuate", "evaporate",
-    "excavate", "exile", "explode", "fable", "facilitate", "fascinate",
-    "fertilize", "fiddle", "finesse", "fixate", "fizzle", "fluctuate",
-    "fondle", "foresee", "formulate", "fracture", "franchise", "freelance",
-    "fumble", "galvanize", "garage", "gargle", "gauge", "gentle",
-    "germinate", "gobble", "goose", "gorge", "grapple", "grease",
-    "grimace", "gripe", "groove", "grove", "grudge", "haggle", "hassle",
-    "hibernate", "hitchhike", "hobble", "homepage", "hospitalize",
-    "huddle", "humble", "humiliate", "hurdle", "hustle", "hydrate",
-    "hygiene", "hypothesize", "idle", "idolize", "illuminate", "immerse",
-    "impede", "implicate", "incense", "incinerate", "incite", "incubate",
-    "infiltrate", "infuse", "innovate", "inscribe", "insinuate",
-    "instigate", "institute", "insulate", "intercede", "interlace",
-    "interrogate", "interstate", "intertwine", "intimidate", "inundate",
-    "invoice", "irrigate", "irritate", "jangle", "jingle", "jostle",
-    "jumble", "kindle", "knuckle", "landscape", "lathe", "legitimize",
-    "leverage", "lifestyle", "lifetime", "limestone", "literature",
-    "litigate", "lunge", "magnetize", "magnitude", "manipulate",
-    "marinate", "marble", "massage", "masquerade", "mature", "meddle",
-    "meditate", "menace", "microscope", "microwave", "mileage", "mimic",
-    "mobilize", "modernize", "modulate", "moisturize", "monopolize",
-    "morale", "motive", "mule", "multiple", "mutate", "muzzle",
-    "mystique", "needle", "neutralize", "nickname", "noodle", "notice",
-    "obligate", "obliterate", "obscure", "obsolete", "oppress", "orchestrate",
-    "oscillate", "outpace", "outrage", "outsource", "overcome",
-    "overdose", "override", "oversee", "overtake", "overture", "oxide",
-    "oxidize", "ozone", "paddle", "palace", "pancake", "parachute",
-    "paralyze", "paraphrase", "passage", "pasture", "peddle", "penetrate",
+    "emphasize", "empathize", "encase", "enclose", "encourage",
+    "endure", "engrave", "enlarge", "enslave", "enterprise", "entice",
+    "entitle", "envisage", "episode", "equate", "escalate", "evacuate",
+    "evaporate", "excavate", "exile", "explode", "fable", "facilitate",
+    "fascinate", "fertilize", "fiddle", "finesse", "fixate", "fizzle",
+    "fluctuate", "fondle", "foresee", "formulate", "fracture",
+    "franchise", "freelance", "fumble", "galvanize", "garage",
+    "gargle", "gauge", "gentle", "germinate", "gobble", "goose",
+    "gorge", "grapple", "grease", "grimace", "gripe", "groove",
+    "grove", "grudge", "haggle", "hassle", "hibernate", "hitchhike",
+    "hobble", "homepage", "hospitalize", "huddle", "humble",
+    "humiliate", "hurdle", "hustle", "hydrate", "hygiene",
+    "hypothesize", "idle", "idolize", "illuminate", "immerse",
+    "impede", "implicate", "incense", "incinerate", "incite",
+    "incubate", "infiltrate", "infuse", "innovate", "inscribe",
+    "insinuate", "instigate", "institute", "insulate", "intercede",
+    "interlace", "interrogate", "interstate", "intertwine",
+    "intimidate", "inundate", "irrigate", "irritate", "jangle",
+    "jingle", "jostle", "jumble", "kindle", "knuckle", "landscape",
+    "lathe", "legitimize", "leverage", "lifestyle", "lifetime",
+    "limestone", "literature", "litigate", "lunge", "magnetize",
+    "magnitude", "manipulate", "marinate", "marble", "massage",
+    "masquerade", "mature", "meddle", "meditate", "menace",
+    "microscope", "microwave", "mileage", "mobilize", "modernize",
+    "modulate", "moisturize", "monopolize", "morale", "motive", "mule",
+    "multiple", "mutate", "muzzle", "mystique", "needle", "neutralize",
+    "nickname", "noodle", "notice", "obligate", "obliterate",
+    "obscure", "obsolete", "orchestrate", "oscillate", "outpace",
+    "outrage", "outsource", "overcome", "overdose", "override",
+    "oversee", "overtake", "overture", "oxide", "oxidize", "ozone",
+    "paddle", "palace", "pancake", "parachute", "paralyze",
+    "paraphrase", "passage", "pasture", "peddle", "penetrate",
     "perfume", "perspire", "pervade", "pickle", "pierce", "pine",
     "pinnacle", "pipeline", "plague", "poise", "polarize", "police",
     "postpone", "posture", "practice", "prance", "precede", "preclude",
-    "predicate", "premiere", "prince", "principle", "privilege", "prize",
-    "procedure", "procrastinate", "procure", "prosecute", "protrude",
-    "provoke", "prune", "puddle", "puncture", "purchase", "purpose",
-    "quadruple", "quarantine", "radiate", "raffle", "rampage", "rattle",
-    "rave", "recipe", "reconcile", "recreate", "rectangle", "recuperate",
-    "refuge", "regime", "reimburse", "rejoice", "rejuvenate", "relocate",
-    "remake", "reminisce", "remote", "renegade", "rephrase", "reproduce",
-    "reptile", "reschedule", "reshape", "resonate", "restructure",
-    "retrace", "reunite", "revere", "revolve", "ridicule", "rifle",
-    "romance", "rouse", "routine", "ruffle", "rummage", "rupture",
-    "rustle", "sabotage", "saddle", "salvage", "saturate", "sauce",
-    "sausage", "scheme", "scramble", "scrutinize", "sculpture", "seclude",
+    "predicate", "premiere", "prince", "principle", "privilege",
+    "prize", "procedure", "procrastinate", "procure", "prosecute",
+    "protrude", "provoke", "prune", "puddle", "puncture", "purchase",
+    "purpose", "quadruple", "quarantine", "radiate", "raffle",
+    "rampage", "rattle", "rave", "recipe", "reconcile", "recreate",
+    "rectangle", "recuperate", "refuge", "regime", "reimburse",
+    "rejoice", "rejuvenate", "relocate", "remake", "reminisce",
+    "remote", "renegade", "rephrase", "reproduce", "reptile",
+    "reschedule", "reshape", "resonate", "restructure", "retrace",
+    "reunite", "revere", "revolve", "ridicule", "rifle", "romance",
+    "rouse", "routine", "ruffle", "rummage", "rupture", "rustle",
+    "sabotage", "saddle", "salvage", "saturate", "sauce", "sausage",
+    "scheme", "scramble", "scrutinize", "sculpture", "seclude",
     "sedate", "seduce", "segregate", "sentence", "serenade", "service",
     "shackle", "shuttle", "signature", "silence", "sizzle", "sleeve",
     "smuggle", "snake", "sneeze", "sniffle", "snooze", "snuggle",
     "socialize", "spade", "spectacle", "speculate", "sphere", "spine",
-    "spite", "splice", "sponge", "spouse", "sprinkle", "spruce", "stable",
-    "stagnate", "stampede", "staple", "startle", "stature", "statue",
-    "statute", "stereotype", "sterilize", "stifle", "stipulate", "stove",
-    "straddle", "strangle", "streamline", "strive", "subdue", "subside",
-    "subtitle", "suffice", "suffocate", "supervise", "suspense", "swerve",
-    "syndicate", "syndrome", "synthesize", "tale", "tangle", "telescope",
-    "template", "temple", "tense", "tentacle", "terrace", "textile",
-    "texture", "trade", "tremble", "trouble", "tune", "undermine",
-    "underline", "upgrade", "venture", "vibrate", "violate", "voice",
-    "wade", "wage", "wave", "welcome", "wipe", "wrestle", "wrinkle")
+    "spite", "splice", "sponge", "spouse", "sprinkle", "spruce",
+    "stable", "stagnate", "stampede", "staple", "startle", "stature",
+    "statue", "statute", "stereotype", "sterilize", "stifle",
+    "stipulate", "stove", "straddle", "strangle", "streamline",
+    "strive", "subdue", "subside", "subtitle", "suffice", "suffocate",
+    "supervise", "suspense", "swerve", "syndicate", "syndrome",
+    "synthesize", "tale", "tangle", "telescope", "template", "temple",
+    "tense", "tentacle", "terrace", "textile", "texture", "trouble",
+    "wrestle", "wrinkle")
 
   private def isVowel(c: Char): Boolean =
     c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y'

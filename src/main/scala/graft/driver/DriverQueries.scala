@@ -184,6 +184,8 @@ object DriverQueries {
     fieldedCache.values.foreach { case (_, dir) => rmDir(dir) }
     fieldedCache.clear()
     fieldedBlockCache.clear() // dirs already removed with the fielded cache
+    streamTmpDirs.foreach(rmDir)
+    streamTmpDirs.clear()
     spark.catalog.clearCache()
   }
 
@@ -1452,8 +1454,16 @@ object DriverQueries {
   private def memQueryName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-  private def streamTmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  // corpus-sized per-gate dirs (stream inputs/outputs/checkpoints) are
+  // registered here and removed by releaseCaches — a bench loop at sf10
+  // otherwise leaks several GB per suite run and later legs die with
+  // ENOSPC (the same failure mode Bench.rmAll/ScaleBench guard against)
+  private val streamTmpDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+  private def streamTmp(prefix: String): String = synchronized {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    streamTmpDirs += d
+    d
+  }
 
   val specs6: Seq[Spec] = Seq(
 

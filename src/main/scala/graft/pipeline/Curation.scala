@@ -74,13 +74,17 @@ object Curation {
     import spark.implicits._
     require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
       "sampling fractions must be in [0, 1]")
+    // internal column named to dodge collisions with caller columns; drop
+    // via the thresholds frame's own reference so a caller column of the
+    // same (unlikely) name could never be silently removed
+    val thrCol = "__graft_sample_threshold"
     val thresholds = fractions.toSeq
       .map { case (s, f) => (s, math.floor(SAMPLE_MOD * f).toLong) }
-      .toDF(strataCol, "sample_threshold")
+      .toDF(strataCol, thrCol)
     val defaultThreshold = math.floor(SAMPLE_MOD * default).toLong
     df.join(broadcast(thresholds), Seq(strataCol), "left")
       .filter(sampleKeyCol(col(idCol), seed) <
-        coalesce(col("sample_threshold"), lit(defaultThreshold)))
-      .drop("sample_threshold")
+        coalesce(thresholds(thrCol), lit(defaultThreshold)))
+      .drop(thresholds(thrCol))
   }
 }

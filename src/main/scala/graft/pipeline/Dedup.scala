@@ -159,12 +159,17 @@ object Dedup {
         val agree = (s1: Column, s2: Column) =>
           aggregate(zip_with(s1, s2, (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes.toDouble)
-        collided
+        val filtered = collided
           .join(collSigs.select(col("id").as("id1"), col("sig").as("sig1")), "id1")
           .join(collSigs.select(col("id").as("id2"), col("sig").as("sig2")), "id2")
           .filter(agree(col("sig1"), col("sig2")) >= lit(sigCut))
           .select("id1", "id2")
           .cache()
+        // in this regime collided is the LARGE frame — materialize its
+        // filtered successor, then release it (nothing reads it again)
+        filtered.count()
+        collided.unpersist()
+        filtered
       }
 
     // verification: semi-filter the source to candidate ids FIRST, then
