@@ -59,6 +59,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(bySrc("src3") - 0.25) < 0.1, s"src3 ${bySrc("src3")} (default fraction)")
   }
 
+  test("plan shapes: x5 has no Window/UDF; c2 joins broadcast-only with no corpus shuffle") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a", "src0")).toDF("doc_id", "text", "source")
+    val p1 = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p1.toLowerCase.contains("window"), s"window in x5 plan:\n$p1")
+    assert(!p1.toLowerCase.contains("udf"), s"UDF in x5 plan:\n$p1")
+    val p2 = graft.pipeline.Curation.stratifiedSample(
+        df.select("doc_id", "source"), "doc_id", "source", Map("src0" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), s"c2 must broadcast the thresholds:\n$p2")
+    // the only exchange allowed is the broadcast of the tiny thresholds
+    // frame — the corpus side must be map-only (filter over the scan)
+    assert(p2.linesIterator.count(l => l.contains("Exchange") && !l.toLowerCase.contains("broadcast")) == 0,
+      s"corpus-side shuffle in c2 plan:\n$p2")
+  }
+
   test("rolling fingerprint: stable, order-sensitive, normalization-invariant") {
     val a = TextAnalysis.rollingFingerprint("Hello, World!")
     assert(a == TextAnalysis.rollingFingerprint("hello world"))   // analyzer normalizes
