@@ -179,7 +179,7 @@ object KStem {
    * e-restoration for its -ed/-ing/-es inflections and (b) harmlessly
    * protect the already-uninflected base. Coverage is measured by
    * KStemSpec's derived-inflection round-trip and recorded in SURVEY §8. */
-  private def LexiconGrowth: Set[String] = Set(
+  private[graft] def LexiconGrowth: Set[String] = Set(
     "abide", "abuse", "accuse", "ache", "admire", "advise", "agitate",
     "alleviate", "amaze", "amuse", "arbitrate", "arcade", "archive",
     "arise", "aspire", "assume", "assure", "attribute", "automate",
@@ -239,7 +239,7 @@ object KStem {
    * KStemSpec's exhaustive derived-inflection round-trip over every e-final
    * head. Pushes lexicon-arbitrated e-restoration coverage further toward
    * the reference KStemFilter's ~30k-entry behavior. */
-  private def LexiconGrowth5: Set[String] = Set(
+  private[graft] def LexiconGrowth5: Set[String] = Set(
     "abbreviate", "absolve", "accommodate", "acknowledge", "activate",
     "adore", "advocate", "alienate", "allege", "allude", "angle",
     "animate", "annotate", "annihilate", "apologize", "appraise",

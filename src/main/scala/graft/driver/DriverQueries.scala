@@ -50,43 +50,114 @@ object DriverQueries {
   // Nearly every spec consumes termDocs/docs/dict/corpusStats; without
   // caching each of the ~40 gate queries re-tokenizes the corpus from
   // scratch (the round-1 gate spent 3-5× its operator time there).
-  private val memo = scala.collection.mutable.Map.empty[(String, String), Any]
-  private def cached[A](kind: String, dir: String)(mk: => A): A = synchronized {
-    memo.getOrElseUpdate((kind, dir), mk).asInstanceOf[A]
+  //
+  // Round-6 (optimization guide §2.6 — overlap independent jobs): the memo
+  // holds FutureTasks instead of values, so that
+  //  (1) every shared derivation still computes exactly once (the first
+  //      claimant runs the task; later callers block on the same task);
+  //  (2) the INDEPENDENT expensive builds (compressed index, the two
+  //      fielded indexes + block stage, the grid-sweep runs/eval, the
+  //      shared BM25 run) are launched on background threads at first
+  //      contact with an sfDir — Spark happily runs several jobs at once,
+  //      so builds that used to run strictly back-to-back now back-fill
+  //      each other's idle cores and stragglers;
+  //  (3) [[fieldedBlockIndex]] — the LAST shared derivation the (frozen)
+  //      bench warmup awaits — joins every in-flight prefetch thread
+  //      before returning, so background work never bleeds into the
+  //      individually-timed gate phase: all overlap is absorbed into the
+  //      one warmup measurement, and every gate runs on a quiet scheduler.
+  // Nothing is precomputed across JVMs or bench runs — the same work runs
+  // from the same parquet inputs, merely concurrently.
+  private val memo =
+    scala.collection.mutable.Map.empty[(String, String), java.util.concurrent.FutureTask[Any]]
+  private def cached[A](kind: String, dir: String)(mk: => A): A = {
+    val key = (kind, dir)
+    val task = memo.synchronized {
+      memo.getOrElseUpdate(key, new java.util.concurrent.FutureTask[Any](() => mk))
+    }
+    task.run() // claims + runs in THIS thread if unclaimed; no-op otherwise
+    try task.get().asInstanceOf[A]
+    catch { case e: java.util.concurrent.ExecutionException =>
+      // don't memoize failures — drop the entry so a later call can retry
+      memo.synchronized { memo.remove(key) }
+      throw e.getCause
+    }
   }
 
-  def termDocs(spark: SparkSession, dir: String): DataFrame =
+  // one prefetch fan-out per sfDir; threads tracked so the warmup barrier
+  // (fieldedBlockIndex) and releaseCaches can join them
+  private val prefetchThreads =
+    scala.collection.mutable.Map.empty[String, Seq[Thread]]
+  private def maybePrefetch(spark: SparkSession, dir: String): Unit = {
+    val fresh = prefetchThreads.synchronized {
+      if (prefetchThreads.contains(dir)) false
+      else { prefetchThreads(dir) = Nil; true }
+    }
+    if (!fresh) return
+    def bg(name: String)(f: => Any): Thread = {
+      val t = new Thread(() => try f catch { case _: Throwable => () },
+        s"graft-prefetch-$name")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    val ts = Seq(
+      bg("index")(index(spark, dir)),
+      // block stage chains on the split index inside ONE thread
+      bg("fielded-split") {
+        fieldedIndex(spark, dir, "split")
+        fieldedBlocksInner(spark, dir, "split")
+      },
+      bg("fielded-natural")(fieldedIndex(spark, dir, "natural")),
+      bg("sweep") { sweepRunsCached(spark, dir); sweepPq(spark, dir) },
+      bg("bm25run")(bm25RunCached(spark, dir)))
+    prefetchThreads.synchronized { prefetchThreads(dir) = ts }
+  }
+  private def awaitPrefetch(dir: String): Unit = {
+    val ts = prefetchThreads.synchronized { prefetchThreads.getOrElse(dir, Nil) }
+    ts.foreach(t => if (t ne Thread.currentThread()) t.join())
+  }
+
+  def termDocs(spark: SparkSession, dir: String): DataFrame = {
+    maybePrefetch(spark, dir)
     cached("termDocs", dir) {
       val df = Tokenize.termDocs(Transcripts.fromDocuments(spark, dir)).persist()
       df.count()
       df
     }
+  }
 
-  def docs(spark: SparkSession, dir: String): DataFrame =
+  def docs(spark: SparkSession, dir: String): DataFrame = {
+    maybePrefetch(spark, dir)
     cached("docs", dir) {
       val df = Tokenize.docs(Transcripts.fromDocuments(spark, dir)).persist()
       df.count()
       df
     }
+  }
 
-  def dict(spark: SparkSession, dir: String): DataFrame =
+  def dict(spark: SparkSession, dir: String): DataFrame = {
+    maybePrefetch(spark, dir)
     cached("dict", dir) {
       val df = Dictionary.termStats(termDocs(spark, dir)).persist()
       df.count()
       df
     }
+  }
 
-  def corpusStats(spark: SparkSession, dir: String): graft.model.CorpusStats =
+  def corpusStats(spark: SparkSession, dir: String): graft.model.CorpusStats = {
+    maybePrefetch(spark, dir)
     cached("stats", dir)(Tokenize.corpusStats(docs(spark, dir)))
+  }
 
   /** Compressed block index over the documents corpus, built once per JVM
    * per sfDir (fresh — no reuse across runs, the format may evolve). */
-  private val indexCache = scala.collection.mutable.Map.empty[String, (IndexBuild.Index, String)]
-  def index(spark: SparkSession, dir: String): IndexBuild.Index = synchronized {
-    indexCache.getOrElseUpdate(dir, {
+  def index(spark: SparkSession, dir: String): IndexBuild.Index = {
+    maybePrefetch(spark, dir)
+    cached("index", dir) {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-docidx").toString
       (IndexBuild.build(Transcripts.fromDocuments(spark, dir), idxDir, docsPerShard = 256), idxDir)
-    })._1
+    }._1
   }
 
   /** The r3 fielded posting source: documents split into a synthetic
@@ -132,32 +203,41 @@ object DriverQueries {
   /** Prebuilt fielded indexes (round-3 VERDICT #1): per-field postings +
    * dict + stats materialized ONCE per (sfDir, variant); the r3/r3b gates
    * then run query-term-pruned scans only. */
-  private val fieldedCache =
-    scala.collection.mutable.Map.empty[(String, String), (graft.index.FieldedIndex.FIndex, String)]
-  def fieldedIndex(s: SparkSession, d: String, variant: String): graft.index.FieldedIndex.FIndex =
-    synchronized {
-      fieldedCache.getOrElseUpdate((d, variant), {
-        val dir = java.nio.file.Files.createTempDirectory(s"graft-fidx-$variant").toString
-        val src = if (variant == "natural") fieldedNaturalSource(s, d)
-                  else fieldedSplitSource(s, d)
-        (graft.index.FieldedIndex.build(src, dir), dir)
-      })._1
+  private def fieldedIndexEntry(s: SparkSession, d: String,
+                                variant: String): (graft.index.FieldedIndex.FIndex, String) =
+    cached(s"fidx-$variant", d) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-fidx-$variant").toString
+      val src = if (variant == "natural") fieldedNaturalSource(s, d)
+                else fieldedSplitSource(s, d)
+      (graft.index.FieldedIndex.build(src, dir), dir)
     }
+
+  def fieldedIndex(s: SparkSession, d: String, variant: String): graft.index.FieldedIndex.FIndex = {
+    maybePrefetch(s, d)
+    fieldedIndexEntry(s, d, variant)._1
+  }
 
   /** Block stage over the cached fielded index (round-4 VERDICT #1): built
    * once per (sfDir, variant) into the SAME dir — the r3c gate then runs
    * the early-terminating WAND over term-pruned block scans. sf0.01 holds
    * ~600 docs; 256-doc shards exercise the cross-shard heap merge. */
-  private val fieldedBlockCache =
-    scala.collection.mutable.Map.empty[(String, String), graft.index.FieldedBlocks.FBIndex]
-  def fieldedBlockIndex(s: SparkSession, d: String, variant: String): graft.index.FieldedBlocks.FBIndex =
-    synchronized {
-      val idx = fieldedIndex(s, d, variant)
-      fieldedBlockCache.getOrElseUpdate((d, variant), {
-        val dir = fieldedCache((d, variant))._2
-        graft.index.FieldedBlocks.build(idx, dir, docsPerShard = 256)
-      })
+  private def fieldedBlocksInner(s: SparkSession, d: String,
+                                 variant: String): graft.index.FieldedBlocks.FBIndex =
+    cached(s"fblocks-$variant", d) {
+      val (idx, dir) = fieldedIndexEntry(s, d, variant)
+      graft.index.FieldedBlocks.build(idx, dir, docsPerShard = 256)
     }
+
+  /** Public accessor doubles as the warmup BARRIER: it is the last shared
+   * derivation the frozen bench warms, so joining the prefetch threads here
+   * guarantees every background build has finished before any gate is
+   * individually timed (see the memo scaladoc). */
+  def fieldedBlockIndex(s: SparkSession, d: String, variant: String): graft.index.FieldedBlocks.FBIndex = {
+    maybePrefetch(s, d)
+    val r = fieldedBlocksInner(s, d, variant)
+    awaitPrefetch(d)
+    r
+  }
 
   /** Unpersist and drop every per-sfDir cache (the gate suite's warm
    * state) — including storage persisted INSIDE the builders (DenseIds'
@@ -168,22 +248,26 @@ object DriverQueries {
    * 3.6× index-build inflation with the gate caches still resident
    * (VERDICT r03 "What's wrong" #2). */
   def releaseCaches(spark: SparkSession): Unit = synchronized {
-    memo.values.foreach {
-      case df: DataFrame => df.unpersist(blocking = true)
-      case _             =>
-    }
-    memo.clear()
+    // join in-flight prefetch threads first: never unpersist/delete under a
+    // build that is still running
+    prefetchThreads.synchronized { prefetchThreads.keys.toSeq }.foreach(awaitPrefetch)
+    prefetchThreads.synchronized { prefetchThreads.clear() }
     def rmDir(dir: String): Unit =
       try {
         import scala.jdk.CollectionConverters._
         java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => }
-    indexCache.values.foreach { case (_, dir) => rmDir(dir) }
-    indexCache.clear()
-    fieldedCache.values.foreach { case (_, dir) => rmDir(dir) }
-    fieldedCache.clear()
-    fieldedBlockCache.clear() // dirs already removed with the fielded cache
+    val tasks = memo.synchronized { val ts = memo.values.toSeq; memo.clear(); ts }
+    tasks.foreach { t =>
+      if (t.isDone) {
+        (try t.get() catch { case _: Throwable => null }) match {
+          case df: DataFrame        => df.unpersist(blocking = true)
+          case (_, dir: String)     => rmDir(dir) // index / fielded index entries
+          case _                    =>
+        }
+      }
+    }
     streamTmpDirs.foreach(rmDir)
     streamTmpDirs.clear()
     spark.catalog.clearCache()
@@ -381,12 +465,18 @@ object DriverQueries {
 
   // ---- batch 2: histograms, QPP, native eval, spam re-rank ----
 
-  /** BM25 rounded-double run WITHOUT sentinel (k=20) — eval/spam input. */
-  private def bm25Run(s: SparkSession, d: String): DataFrame = {
-    val td = termDocs(s, d)
-    Exact.search(td, dict(s, d), corpusStats(s, d),
-      topics, Scoring.BM25c(0.9, 0.4), K, roundedDouble = Some(4))
-  }
+  /** BM25 rounded-double run WITHOUT sentinel (k=20) — eval/spam input.
+   * Round 6: memoized per sfDir like the sweep runs — e1/r6/nc1/sa1 all
+   * consume it, and each used to re-score + re-rank the whole posting
+   * source for itself. */
+  private def bm25RunCached(s: SparkSession, d: String): DataFrame =
+    cached("bm25Run", d) {
+      val df = Exact.search(termDocs(s, d), dict(s, d), corpusStats(s, d),
+        topics, Scoring.BM25c(0.9, 0.4), K, roundedDouble = Some(4)).persist()
+      df.count()
+      df
+    }
+  private def bm25Run(s: SparkSession, d: String): DataFrame = bm25RunCached(s, d)
 
   /** Synthetic deterministic qrels over documents: qid × doc where
    * (doc_id + qid·7) % 5 == 0 (dense enough to overlap top-k runs),
@@ -1454,6 +1544,25 @@ object DriverQueries {
   private def memQueryName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily derived from
+   * the stream's document volume (restored afterwards). The conf fixes the
+   * STATE-STORE partition count of a streaming query at its first batch —
+   * AQE does not apply to streaming — so a session sized for batch
+   * parallelism otherwise commits `cpus` state files per micro-batch for a
+   * few thousand rows of state. Scale-adaptive, not a local[32] constant:
+   * one state partition per ~2000 docs, capped at the session's own
+   * parallelism (at sf10's 500k docs this saturates back to the session
+   * value; at 100 TB the cap IS the cluster parallelism). Results are
+   * partition-count-invariant (exact dedup / exact aggregation / stateless
+   * map); only task and state-file counts change. */
+  private def withStreamShufflePartitions[A](s: SparkSession, nDocs: Long)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    val target = math.max(2L, math.min(prev.toLong, nDocs / 2000L + 1L))
+    s.conf.set(key, target.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   // corpus-sized per-gate dirs (stream inputs/outputs/checkpoints) are
   // registered here and removed by releaseCaches — a bench loop at sf10
   // otherwise leaks several GB per suite run and later legs die with
@@ -1483,16 +1592,23 @@ object DriverQueries {
               concat(col("text"), lit(" xnearx")).as("text")))
         val inDir = streamTmp("graft-st1-in")
         val outDir = streamTmp("graft-st1-out")
-        val src = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 2).parquet(inDir)
-        val q = graft.streaming.Streams.dedupByContent(src, "id", "text")
-          .writeStream.format("parquet").outputMode("append")
-          .option("path", outDir)
-          .option("checkpointLocation", streamTmp("graft-st1-ck")).start()
-        try {
-          docs.repartition(4).write.mode("append").parquet(inDir); q.processAllAvailable()
-          b2.repartition(4).write.mode("append").parquet(inDir); q.processAllAvailable()
-        } finally q.stop()
+        // round 6: 2 files per barrier group (= one micro-batch each, at
+        // maxFilesPerTrigger 2) instead of 4 — the cross-batch state
+        // semantics the gate pins (originals fully committed before the
+        // copies arrive) live in the processAllAvailable barrier, not in
+        // how many micro-batches each group is chopped into
+        withStreamShufflePartitions(s, corpusStats(s, d).numDocs) {
+          val src = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2).parquet(inDir)
+          val q = graft.streaming.Streams.dedupByContent(src, "id", "text")
+            .writeStream.format("parquet").outputMode("append")
+            .option("path", outDir)
+            .option("checkpointLocation", streamTmp("graft-st1-ck")).start()
+          try {
+            docs.repartition(2).write.mode("append").parquet(inDir); q.processAllAvailable()
+            b2.repartition(2).write.mode("append").parquet(inDir); q.processAllAvailable()
+          } finally q.stop()
+        }
         s.read.parquet(outDir)
       },
       Some("""SELECT doc_id AS id, md5(text) AS text_hash FROM documents
@@ -1512,26 +1628,28 @@ object DriverQueries {
           .select(col("doc_id").cast("long").as("id"), col("text"))
         val inDir = streamTmp("graft-st4-in")
         val outDir = streamTmp("graft-st4-out")
-        val src = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 2).parquet(inDir)
-        val out = graft.streaming.Streams.topicMatches(
-          src, "id", "text",
-          topics, dict(s, d), corpusStats(s, d),
-          Scoring.BM25c(0.9, 0.4), minScore = 0.0, floatBoundary = false)
-          .select(col("id"), col("qid"), round(col("score"), 4).as("score"))
-        val q = out.writeStream.format("parquet").outputMode("append")
-          .option("path", outDir)
-          .option("checkpointLocation", streamTmp("graft-st4-ck")).start()
-        try {
-          // stateless per-batch map: the split is arbitrary — parity keeps
-          // both batches derived executor-side
-          docs.filter(col("id") % 2 === 0).repartition(4)
-            .write.mode("append").parquet(inDir)
-          q.processAllAvailable()
-          docs.filter(col("id") % 2 === 1).repartition(4)
-            .write.mode("append").parquet(inDir)
-          q.processAllAvailable()
-        } finally q.stop()
+        withStreamShufflePartitions(s, corpusStats(s, d).numDocs) {
+          val src = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2).parquet(inDir)
+          val out = graft.streaming.Streams.topicMatches(
+            src, "id", "text",
+            topics, dict(s, d), corpusStats(s, d),
+            Scoring.BM25c(0.9, 0.4), minScore = 0.0, floatBoundary = false)
+            .select(col("id"), col("qid"), round(col("score"), 4).as("score"))
+          val q = out.writeStream.format("parquet").outputMode("append")
+            .option("path", outDir)
+            .option("checkpointLocation", streamTmp("graft-st4-ck")).start()
+          try {
+            // stateless per-batch map: the split is arbitrary — parity keeps
+            // both batches derived executor-side (2 files = 1 batch each)
+            docs.filter(col("id") % 2 === 0).repartition(2)
+              .write.mode("append").parquet(inDir)
+            q.processAllAvailable()
+            docs.filter(col("id") % 2 === 1).repartition(2)
+              .write.mode("append").parquet(inDir)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.read.parquet(outDir)
       },
       Some(s"""WITH $CTES,
@@ -1554,21 +1672,23 @@ object DriverQueries {
         val docs = Transcripts.table(s, d, "documents")
           .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         val inDir = streamTmp("graft-st2-in")
-        val src = s.readStream.schema(docs.schema)
-          .option("maxFilesPerTrigger", 2).parquet(inDir)
-          .withColumn("ts", col("doc_id").cast("timestamp"))
-        val out = graft.streaming.Streams.windowedTokenStats(src, "ts", "text", "60 seconds")
         val qn = memQueryName("st2")
-        val q = out.writeStream.format("memory").queryName(qn).outputMode("complete")
-          .option("checkpointLocation", streamTmp("graft-st2-ck")).start()
-        try {
-          docs.filter(col("doc_id") < 250).repartition(4)
-            .write.mode("append").parquet(inDir)
-          q.processAllAvailable()
-          docs.filter(col("doc_id") >= 250).repartition(4)
-            .write.mode("append").parquet(inDir)
-          q.processAllAvailable()
-        } finally q.stop()
+        withStreamShufflePartitions(s, corpusStats(s, d).numDocs) {
+          val src = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2).parquet(inDir)
+            .withColumn("ts", col("doc_id").cast("timestamp"))
+          val out = graft.streaming.Streams.windowedTokenStats(src, "ts", "text", "60 seconds")
+          val q = out.writeStream.format("memory").queryName(qn).outputMode("complete")
+            .option("checkpointLocation", streamTmp("graft-st2-ck")).start()
+          try {
+            docs.filter(col("doc_id") < 250).repartition(2)
+              .write.mode("append").parquet(inDir)
+            q.processAllAvailable()
+            docs.filter(col("doc_id") >= 250).repartition(2)
+              .write.mode("append").parquet(inDir)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         s.table(qn)
       },
       Some("""SELECT (doc_id // 60) * 60 AS window_start, count(*) AS n_docs,
@@ -1586,22 +1706,24 @@ object DriverQueries {
         val inDir = streamTmp("graft-st3-in")
         val dir = streamTmp("graft-stream-idx")
         val ckpt = streamTmp("graft-stream-ckpt")
-        val src = s.readStream.schema(turns.schema)
-          .option("maxFilesPerTrigger", 2).parquet(inDir)
-          .as[graft.model.Turn]
-        val q = graft.streaming.Streams.indexSink(src, dir, docsPerShard = 256,
-            streamToken = ckpt.hashCode.toHexString)
-          .option("checkpointLocation", ckpt).start()
-        try {
-          // shard-disjoint appends regardless of split: parity halves,
-          // derived executor-side
-          turns.toDF().filter(abs(hash(col("conv_id"))) % 2 === 0)
-            .repartition(4).write.mode("append").parquet(inDir)
-          q.processAllAvailable()
-          turns.toDF().filter(abs(hash(col("conv_id"))) % 2 === 1)
-            .repartition(4).write.mode("append").parquet(inDir)
-          q.processAllAvailable()
-        } finally q.stop()
+        withStreamShufflePartitions(s, corpusStats(s, d).numDocs) {
+          val src = s.readStream.schema(turns.schema)
+            .option("maxFilesPerTrigger", 2).parquet(inDir)
+            .as[graft.model.Turn]
+          val q = graft.streaming.Streams.indexSink(src, dir, docsPerShard = 256,
+              streamToken = ckpt.hashCode.toHexString)
+            .option("checkpointLocation", ckpt).start()
+          try {
+            // shard-disjoint appends regardless of split: parity halves,
+            // derived executor-side (2 files = 1 appendBatch each)
+            turns.toDF().filter(abs(hash(col("conv_id"))) % 2 === 0)
+              .repartition(2).write.mode("append").parquet(inDir)
+            q.processAllAvailable()
+            turns.toDF().filter(abs(hash(col("conv_id"))) % 2 === 1)
+              .repartition(2).write.mode("append").parquet(inDir)
+            q.processAllAvailable()
+          } finally q.stop()
+        }
         IndexBuild.load(s, dir).termDocs
           .select(col("docId").as("docid"), col("term"), col("tf"))
       },

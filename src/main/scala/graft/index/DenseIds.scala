@@ -49,13 +49,21 @@ object DenseIds {
    * each call leaks one DISK_ONLY cached frame. */
   def assignManaged(df: DataFrame, idName: String, assumeSorted: Boolean,
                     order: Column*): (DataFrame, () => Unit) =
+    { val (out, _, cleanup) = core(df, idName, assumeSorted, order); (out, cleanup) }
+
+  /** [[assignManaged]], additionally returning the EXACT row count — it is
+   * already known from the internal per-partition count pass, so callers
+   * that need n (or the max id, = n − 1 by density) save a whole
+   * aggregation job over the numbered frame. */
+  def assignCounted(df: DataFrame, idName: String, assumeSorted: Boolean,
+                    order: Column*): (DataFrame, Long, () => Unit) =
     core(df, idName, assumeSorted, order)
 
   def assign(df: DataFrame, idName: String, assumeSorted: Boolean, order: Column*): DataFrame =
     core(df, idName, assumeSorted, order)._1
 
   private def core(df: DataFrame, idName: String, assumeSorted: Boolean,
-                   order: Seq[Column]): (DataFrame, () => Unit) = {
+                   order: Seq[Column]): (DataFrame, Long, () => Unit) = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val ranged0 =
@@ -109,6 +117,6 @@ object DenseIds {
     val out = ranged.withColumn(idName,
       offsetOrFail +
         monotonically_increasing_id().bitwiseAND(lit(LocalIdxMask)))
-    (out, () => if (!assumeSorted) { ranged.unpersist(); () })
+    (out, acc, () => if (!assumeSorted) { ranged.unpersist(); () })
   }
 }

@@ -78,6 +78,37 @@ object IndexBuild {
   /** Deliberate mid-build crash for the kill-resume test. */
   final class InjectedFailure(wave: Int) extends RuntimeException(s"injected failure after wave $wave")
 
+  /** Byte-wise UTF-8 comparison (ADVICE r05): DenseIds numbers partitions
+   * in Spark's UTF8-BINARY min-key order, so the inputSorted validation
+   * must compare docIds over UTF-8 BYTES — Java's String.compareTo orders
+   * by UTF-16 code units, which diverges for supplementary characters
+   * (surrogates sort above U+E000..U+FFFF in UTF-8 binary order but below
+   * them in UTF-16). ASCII-only docIds are unaffected; this closes the
+   * latent hazard. */
+  private[graft] def utf8CmpStatic(a: String, b: String): Int = {
+    // fast path: the two collations only diverge when a supplementary
+    // character (UTF-16 surrogate pair) meets a BMP char ≥ U+E000; when
+    // neither string holds a surrogate, String.compareTo IS the UTF-8 byte
+    // order — and the validation calls this per row, so the common (ASCII)
+    // case must not allocate
+    var i = 0
+    var surrogate = false
+    while (i < a.length && !surrogate) { if (a.charAt(i) >= 0xD800) surrogate = true; i += 1 }
+    i = 0
+    while (i < b.length && !surrogate) { if (b.charAt(i) >= 0xD800) surrogate = true; i += 1 }
+    if (!surrogate) return a.compareTo(b)
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val c = (ab(i) & 0xFF) - (bb(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    ab.length - bb.length
+  }
+
   /** Input partitions whose [min, max] docIdNum range intersects any wanted
    * shard (shard = docIdNum / docsPerShard) — the wave-pruning keep set. */
   private[graft] def partitionsForShards(bounds: Array[(Int, Long, Long)],
@@ -137,16 +168,17 @@ object IndexBuild {
           it.foreach { r =>
             val d = r.getString(0)
             if (first == null) first = d
-            else if (d.compareTo(last) <= 0) sorted = false
+            else if (utf8CmpStatic(d, last) <= 0) sorted = false
             last = d
           }
           if (first == null) Iterator.empty else Iterator((pi, first, last, sorted))
-        }.collect().sortBy(b => (b._2, b._1))
+        }.collect()
+        .sortWith((x, y) => { val c = utf8CmpStatic(x._2, y._2); c < 0 || (c == 0 && x._1 < y._1) })
       bounds.foreach { case (pi, _, _, sorted) =>
         require(sorted, s"inputSorted=true but partition $pi is not strictly sorted by docId string") }
       bounds.sliding(2).foreach {
         case Array((_, _, lastA, _), (pi, firstB, _, _)) =>
-          require(lastA < firstB,
+          require(utf8CmpStatic(lastA, firstB) < 0,
             s"inputSorted=true but partition $pi's range [$firstB, …] overlaps a sibling ending at '$lastA'")
         case _ =>
       }

@@ -155,14 +155,21 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, cells: Int, dim: Int,
                      sampleN: Int = 4096, iters: Int = 10,
                      seed: Long = 42L): Array[Array[Double]] = {
+    // (h, id) order: xxhash64 ties across distinct ids would otherwise make
+    // the limit's row choice nondeterministic (ADVICE r05)
     val sampled = corpus
       .select(col("vec_id").as("id"), col("embedding").as("v"))
       .withColumn("h", xxhash64(col("id"), lit(seed)))
-      .orderBy("h").limit(sampleN)
+      .orderBy("h", "id").limit(sampleN)
       .select("id", "v")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+    sampled.foreach { case (id, v) =>
+      require(v.length == dim,
+        s"trainCentroids: vector $id has dim ${v.length}, expected $dim — a " +
+          "mismatched dim would silently truncate centroids after init (ADVICE r05)")
+    }
     val sample: Array[Array[Double]] = sampled.map { case (_, v) =>
       var n2 = 0.0
       var i = 0

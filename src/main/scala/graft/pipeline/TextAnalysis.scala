@@ -167,25 +167,59 @@ object TextAnalysis {
    * with < 2 tokens report bigram fractions of 0 by convention (6-dp
    * rounded, like every cross-engine-gated ratio).
    */
+  /** Spark `round(col, 6)` semantics exactly (BigDecimal.valueOf + HALF_UP)
+   * so the kernel's fractions are bit-identical to the former column-math
+   * form (and to the DuckDB oracle, which r05 hash-matched against it). */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** (topFrac, dupFrac) of one gram sequence: occurrences of the most
+   * frequent gram / of all grams occurring more than once, over all slots. */
+  private def gramFracs(grams: Array[String]): (Double, Double) = {
+    val n = grams.length
+    if (n == 0) return (0.0, 0.0)
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < n) { counts.merge(grams(i), 1, (a, b) => a + b); i += 1 }
+    var top = 0
+    var dup = 0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c > 1) dup += c
+    }
+    (round6(top.toDouble / n), round6(dup.toDouble / n))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val bigrams = when(size(toks) >= 2,
-        transform(sequence(lit(1), size(toks) - 1),
-          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val uni = df.select(col(idCol).as("id"), lit(1).as("kind"), explode(toks).as("gram"))
-    val bi = df.select(col(idCol).as("id"), lit(2).as("kind"), explode(bigrams).as("gram"))
-    val perKind = uni.unionByName(bi)
-      .groupBy("id", "kind", "gram").agg(count(lit(1)).as("n"))
-      .groupBy("id", "kind").agg(
-        max("n").as("topN"), sum("n").as("total"),
-        sum(when(col("n") > 1, col("n")).otherwise(lit(0L))).as("dupN"))
-    def frac(kind: Int, num: Column): Column =
-      round(coalesce(max(when(col("kind") === kind, num / col("total"))), lit(0.0)), 6)
-    perKind.groupBy("id").agg(
-      frac(1, col("topN")).as("top_unigram_frac"),
-      frac(2, col("topN")).as("top_bigram_frac"),
-      frac(1, col("dupN")).as("dup_unigram_frac"),
-      frac(2, col("dupN")).as("dup_bigram_frac"))
+    // Round 6 (optimization guide §2.4 + §1.2): the r5 form exploded every
+    // gram and ran a 3-shuffle aggregation — a corpus-sized shuffle for a
+    // PER-DOCUMENT statistic. The statistic is a pure function of one row,
+    // so it is now a single JVM kernel per doc (the same shape as the
+    // sibling langid/fingerprint/token-estimate operators): zero shuffles,
+    // zero corpus-sized wire traffic, one hash-count pass per doc. (A pure
+    // column-math fold over the sorted gram array was tried first and was
+    // SLOWER than the shuffle form — Spark evaluates higher-order-function
+    // lambdas interpreted per element.) Arithmetic is unchanged: exact
+    // integer counts, the same double divisions, Spark-round at 6 dp; docs
+    // with < 2 tokens report bigram fractions 0; null-text docs emitted no
+    // gram rows before and stay absent.
+    val f = udf { (text: String) =>
+      val t = text.split(" ", -1) // exact split(col, " ") semantics
+      val (tu, du) = gramFracs(t)
+      val bi =
+        if (t.length < 2) Array.empty[String]
+        else Array.tabulate(t.length - 1)(i => t(i) + " " + t(i + 1))
+      val (tb, db) = gramFracs(bi)
+      (tu, tb, du, db)
+    }
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), f(col(textCol)).as("r"))
+      .select(col("id"),
+        col("r._1").as("top_unigram_frac"),
+        col("r._2").as("top_bigram_frac"),
+        col("r._3").as("dup_unigram_frac"),
+        col("r._4").as("dup_bigram_frac"))
   }
 }

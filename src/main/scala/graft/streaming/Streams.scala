@@ -314,12 +314,23 @@ object Streams {
     import spark.implicits._
     def marker(id: Long, suffix: String) = batchPrefix(runToken, id) + suffix
     if (batchId.exists(id => markerExists(spark, indexDir, marker(id, "done")))) return
-    if (turns.isEmpty) return
     val docsDir = s"$indexDir/docs"
     val postingsDir = s"$indexDir/postings"
     val dictDir = s"$indexDir/dict"
     spark.sparkContext.hadoopConfiguration
       .setInt("mapreduce.fileoutputcommitter.algorithm.version", 1)
+
+    // number the batch FIRST (the assignment is start-independent): the
+    // counted variant returns the exact batch size from the numbering's own
+    // per-partition count pass, replacing BOTH the old isEmpty probe job
+    // and the max(docIdNum) aggregation job (ids are dense, so
+    // newMax = start + n − 1) — two fewer jobs per micro-batch.
+    val (withId0, batchN, cleanup) = DenseIds.assignCounted(
+      turns.toDF().select(
+        concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+        col("text")),
+      "docIdNum0", assumeSorted = false, col("docId"))
+    if (batchN == 0L) { cleanup(); return }
 
     // (start, dict base version) — from the replay sidecar when present,
     // else from the index-level markers (hwm; docs scan only as first-contact
@@ -353,17 +364,12 @@ object Streams {
         batchId.foreach(id => writeMarker(spark, indexDir, marker(id, "start"), s"$s:$v"))
         (s, v)
       }
-    val (withId0, cleanup) = DenseIds.assignManaged(
-      turns.toDF().select(
-        concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
-        col("text")),
-      "docIdNum0", assumeSorted = false, col("docId"))
     val withId = withId0
       .withColumn("docIdNum", col("docIdNum0") + lit(start))
       .drop("docIdNum0")
 
     try {
-      val newMax = withId.agg(max("docIdNum")).head().getLong(0)
+      val newMax = start + batchN - 1
       val docsApplied = batchId.exists(id => markerExists(spark, indexDir, marker(id, "docs")))
       if (!docsApplied) {
         withId.select("docId", "docIdNum", "text").as[(String, Long, String)]

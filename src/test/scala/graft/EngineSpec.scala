@@ -43,6 +43,19 @@ class EngineSpec extends AnyFunSuite {
   }
   private lazy val index = IndexBuild.load(spark, indexDir)
 
+  test("utf8CmpStatic: UTF-8 binary order, diverging from String.compareTo on supplementary chars") {
+    // ADVICE r05: U+E000 (UTF-8 EE 80 80) vs U+10000 (surrogate pair, UTF-8
+    // F0 90 80 80) — UTF-16 code units order them one way, UTF-8 bytes the
+    // other; the validation must follow DenseIds' UTF-8 binary order
+    val e000 = "\uE000"
+    val u10000 = new String(Character.toChars(0x10000))
+    assert(e000.compareTo(u10000) > 0)                 // Java: E000 above surrogates
+    assert(IndexBuild.utf8CmpStatic(e000, u10000) < 0) // UTF-8: below
+    assert(IndexBuild.utf8CmpStatic("abc", "abd") < 0)    // ASCII fast path ≡ compareTo
+    assert(IndexBuild.utf8CmpStatic("abc", "abc") == 0)
+    assert(IndexBuild.utf8CmpStatic("abcd", "abc") > 0)
+  }
+
   test("per-turn text-equality invariant under stable (conv_id, turn_idx) order") {
     val dir = Files.createTempDirectory("graft-turns").toString
     turns.write.mode("overwrite").parquet(dir)

@@ -112,4 +112,17 @@ class KStemSpec extends AnyFunSuite {
       }
     } else info("sf0.1 testdata absent — corpus rate not computed in this environment")
   }
+
+  test("lexicon-growth invariants: growth sets disjoint, entries e-final base forms") {
+    // round-6 (ADVICE r05): the round-5 reflow established that
+    // LexiconGrowth5 holds no duplicates of LexiconGrowth and only e-final
+    // base forms (the two non-e-final entries were removed) — pin both
+    // invariants so a future addition cannot silently reintroduce drift.
+    val g4 = KStem.LexiconGrowth
+    val g5 = KStem.LexiconGrowth5
+    val dup = g5.intersect(g4)
+    assert(dup.isEmpty, s"LexiconGrowth5 duplicates LexiconGrowth: $dup")
+    val nonE = (g4 ++ g5).filterNot(_.endsWith("e"))
+    assert(nonE.isEmpty, s"non-e-final growth entries (e-restoration needs e-final heads): $nonE")
+  }
 }

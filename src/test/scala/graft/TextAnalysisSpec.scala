@@ -37,6 +37,36 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
   private def round6(d: Double): Double = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  test("repetition stats: map-only form ≡ brute-force gram counting on random docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "dd", "e")
+    val docs = (0L until 60L).map { i =>
+      val n = rng.nextInt(7) // includes 0- and 1-token docs
+      (i, Seq.fill(math.max(n, if (i % 9 == 0) 0 else 1))(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    def brute(text: String): (Double, Double, Double, Double) = {
+      val t = text.split(" ", -1).toSeq
+      val bi = if (t.size >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty
+      def stats(g: Seq[String]): (Double, Double) =
+        if (g.isEmpty) (0.0, 0.0)
+        else {
+          val c = g.groupBy(identity).map(_._2.size)
+          (round6(c.max.toDouble / g.size),
+            round6(c.filter(_ > 1).sum.toDouble / g.size))
+        }
+      val (tu, du) = stats(t)
+      val (tb, db) = stats(bi)
+      (tu, tb, du, db)
+    }
+    val got = TextAnalysis.repetitionStats(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == brute(text), s"doc $id '$text'")
+    }
+  }
+
   test("stratified sample: deterministic, append-stable, per-stratum fractions honored") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -65,7 +95,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     val p1 = TextAnalysis.repetitionStats(df, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(!p1.toLowerCase.contains("window"), s"window in x5 plan:\n$p1")
-    assert(!p1.toLowerCase.contains("udf"), s"UDF in x5 plan:\n$p1")
+    // round 6: the operator is MAP-ONLY — a per-doc JVM kernel (like the
+    // sibling x2-x4 text operators); no Exchange at all (the r5 form ran 3
+    // shuffles carrying every gram of every doc)
+    assert(!p1.contains("Exchange"), s"shuffle in x5 plan:\n$p1")
     val p2 = graft.pipeline.Curation.stratifiedSample(
         df.select("doc_id", "source"), "doc_id", "source", Map("src0" -> 0.5))
       .queryExecution.executedPlan.toString
