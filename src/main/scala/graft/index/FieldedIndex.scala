@@ -76,17 +76,33 @@ object FieldedIndex {
     // whose re-evaluation would cost a corpus pass each — the read-back is
     // a column-pruned columnar scan of exactly the rows the postings hold
     // (identical semantics: one posting row per (doc, field, term)).
+    //
+    // The two stages are INDEPENDENT read-back aggregations into separate
+    // stage dirs — run them as two concurrent jobs (optimization guide
+    // §2.6: actions are only sequential because driver code calls them
+    // sequentially); each stays individually resumable.
     val written = spark.read.parquet(s"$dir/postings")
-    if (!IndexBuild.stageDone(spark, s"$dir/dict"))
-      written.groupBy("field", "term")
-        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-        .repartitionByRange(math.max(1, parts / 4), col("term"))
-        .sortWithinPartitions("term")
-        .write.mode("overwrite").parquet(s"$dir/dict")
-    if (!IndexBuild.stageDone(spark, s"$dir/stats"))
-      fieldStatsOf(written)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/stats")
+    val dictJob: Runnable = () =>
+      if (!IndexBuild.stageDone(spark, s"$dir/dict"))
+        written.groupBy("field", "term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+          .repartitionByRange(math.max(1, parts / 4), col("term"))
+          .sortWithinPartitions("term")
+          .write.mode("overwrite").parquet(s"$dir/dict")
+    val statsJob: Runnable = () =>
+      if (!IndexBuild.stageDone(spark, s"$dir/stats"))
+        fieldStatsOf(written)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/stats")
+    @volatile var dictFailure: Throwable = null
+    val t = new Thread(() => try dictJob.run() catch { case e: Throwable => dictFailure = e },
+      "graft-fidx-dict")
+    t.start()
+    var statsFailure: Throwable = null
+    try statsJob.run() catch { case e: Throwable => statsFailure = e }
+    t.join()
+    if (dictFailure != null) throw dictFailure
+    if (statsFailure != null) throw statsFailure
     load(spark, dir)
   }
 

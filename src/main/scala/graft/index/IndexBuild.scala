@@ -195,8 +195,14 @@ object IndexBuild {
     // Instead, join the committed mapping back onto the input and restore
     // the shard-build invariant (docIdNum ascending within partitions) with
     // a range shuffle on the now-FIXED numeric ids.
+    val docsWasDone = stageDone(spark, docsDir)
+    lazy val freshAssigned = DenseIds.assignCounted(
+      turns.toDF().select(
+        concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
+        col("text")),
+      "docIdNum", assumeSorted = inputSorted, col("docId"))
     lazy val turnsWithId: DataFrame =
-      if (stageDone(spark, docsDir)) {
+      if (docsWasDone) {
         val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
         turns.toDF().select(
             concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
@@ -204,42 +210,56 @@ object IndexBuild {
           .join(spark.read.parquet(docsDir).select("docId", "docIdNum"), "docId")
           .repartitionByRange(parts, col("docIdNum"))
           .sortWithinPartitions("docIdNum")
-      } else DenseIds.assign(
-        turns.toDF().select(
-          concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
-          col("text")),
-        "docIdNum", assumeSorted = inputSorted, col("docId"))
+      } else freshAssigned._1
 
-    // -- stage 1: docs (docId, docIdNum, docLen), one zero-alloc count pass --
-    if (!stageDone(spark, docsDir)) {
-      turnsWithId.select("docId", "docIdNum", "text").as[(String, Long, String)]
-        .mapPartitions(_.map { case (docId, num, text) =>
-          val dl =
-            if (tag == Analyzer.Tag.NoStem) Analyzer.countTokens(text).toLong
-            else Analyzer.analyze(text, tag).size.toLong
-          DocEntry(docId, num, dl)
-        })
-        .write.mode("overwrite").parquet(docsDir)
-    }
-    val docs = spark.read.parquet(docsDir)
+    // -- stage 1: docs (docId, docIdNum, docLen), one zero-alloc count pass.
+    // Round 6 (optimization guide §2.6): on a FRESH build the docs write is
+    // independent of the postings waves (both scan turnsWithId), and the
+    // shard space is already known from the numbering's own count pass
+    // (dense ids ⇒ maxDocIdNum = n − 1) — so the docs job runs on its own
+    // thread and the postings waves back-fill the scheduler alongside it.
+    // The resume path keeps the sequential read of the committed docs.
+    @volatile var docsFailure: Throwable = null
+    val docsThread: Option[Thread] =
+      if (docsWasDone) None
+      else {
+        val work: Runnable = () =>
+          try {
+            turnsWithId.select("docId", "docIdNum", "text").as[(String, Long, String)]
+              .mapPartitions(_.map { case (docId, num, text) =>
+                val dl =
+                  if (tag == Analyzer.Tag.NoStem) Analyzer.countTokens(text).toLong
+                  else Analyzer.analyze(text, tag).size.toLong
+                DocEntry(docId, num, dl)
+              })
+              .write.mode("overwrite").parquet(docsDir)
+          } catch { case e: Throwable => docsFailure = e }
+        val t = new Thread(work, "graft-idx-docs")
+        t.start()
+        Some(t)
+      }
 
-    val statsRow = docs.agg(count(lit(1)), coalesce(sum("docLen"), lit(0L)),
-      coalesce(max("docIdNum"), lit(-1L))).head()
-    val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
-    val maxDocIdNum = statsRow.getLong(2)
-
-    // -- stage 2: postings via fused segment build, shard-granular resume --
     // Shard space from BOTH the doc count and the max id: the build's own
     // numbering is dense (maxId + 1 == numDocs), but a streaming-appended
     // index aligns each batch to a shard boundary, leaving id gaps — a
-    // count-only bound would never repair its upper shards.
+    // count-only bound would never repair its upper shards. Fresh build:
+    // both come from the numbering count (no job); resume: from the
+    // committed docs.
+    val (numDocsForShards, maxDocIdNum) =
+      if (docsWasDone) {
+        val r = spark.read.parquet(docsDir)
+          .agg(count(lit(1)), coalesce(max("docIdNum"), lit(-1L))).head()
+        (r.getLong(0), r.getLong(1))
+      } else (freshAssigned._2, freshAssigned._2 - 1)
+
+    // -- stage 2: postings via fused segment build, shard-granular resume --
     val numShards = math.max(1,
-      ((math.max(stats.numDocs, maxDocIdNum + 1) + docsPerShard - 1) / docsPerShard).toInt)
+      ((math.max(numDocsForShards, maxDocIdNum + 1) + docsPerShard - 1) / docsPerShard).toInt)
     val done = completedShards(spark, postingsDir)
     val todo = (0 until numShards).filterNot(done)
     val repairedShards = todo.nonEmpty // consumed by the dict stage below
 
-    if (todo.nonEmpty) {
+    try if (todo.nonEmpty) {
       val groups = {
         val per = math.max(1, math.ceil(todo.size.toDouble / math.max(1, waves)).toInt)
         todo.grouped(per).toSeq
@@ -310,6 +330,16 @@ object IndexBuild {
         if (failAfterWave == wave) throw new InjectedFailure(wave)
       }
     }
+    // the concurrent docs write must be fully committed (or its failure
+    // surfaced) before anything below reads docsDir — and ALSO when a wave
+    // throws (kill-resume re-enters build in the same JVM and must not see
+    // a half-written docs stage racing a fresh attempt)
+    finally docsThread.foreach(_.join())
+    if (docsFailure != null) throw docsFailure
+
+    val docs = spark.read.parquet(docsDir)
+    val statsRow = docs.agg(count(lit(1)), coalesce(sum("docLen"), lit(0L))).head()
+    val stats = CorpusStats(statsRow.getLong(0), statsRow.getLong(1))
 
     // commit marker for the postings stage as a whole
     val f = fs(spark, postingsDir)

@@ -143,11 +143,15 @@ object Risk {
     val v = col(valueCol).cast("double")
     val rows = matrix.groupBy(systemCol).agg(sum(v).as("rowSum"))
     val cols_ = matrix.groupBy(topicCol).agg(sum(v).as("colSum"))
-    val total = matrix.agg(sum(v)).head.getDouble(0)
+    // round 6: the grand total rides as a broadcast 1-row frame instead of
+    // an eager `.head` — one fewer driver action/job, nothing collected on
+    // the query path; same Spark aggregate produces the same value
+    val total = matrix.agg(sum(v).as("__total"))
     matrix
       .join(broadcast(rows), systemCol)
       .join(broadcast(cols_), topicCol)
-      .withColumn("e", col("rowSum") * col("colSum") / lit(total))
+      .crossJoin(broadcast(total))
+      .withColumn("e", col("rowSum") * col("colSum") / col("__total"))
       .withColumn("x", (v - col("e")) * (v - col("e")) / col("e"))
       .groupBy(systemCol)
       .agg(sum("x").as("zrisk"))
