@@ -160,9 +160,21 @@ object DriverQueries {
     }._1
   }
 
+  /** token array → term→tf map, in-row (the [[Tokenize.tfMapUdf]] pattern
+   * for already-tokenized arrays): per-(doc, field) term frequencies need
+   * NO shuffle — round 6 replaced the explode→groupBy form, which carried
+   * every token of every document through an aggregation exchange (a
+   * corpus-sized shuffle for a row-local computation; guide §2.4). */
+  private val toksTfUdf = udf { (toks: Seq[String]) =>
+    val m = new java.util.HashMap[String, Long]()
+    toks.foreach(t => m.merge(t, 1L, (a, b) => a + b))
+    import scala.jdk.CollectionConverters._
+    m.asScala.toMap
+  }
+
   /** The r3 fielded posting source: documents split into a synthetic
    * 'title' field (first 8 tokens) + 'contents' (rest) —
-   * (docId, field, term, tf, docLen) with per-FIELD doclens. */
+   * (docId, field, term, tf, docLen) with per-FIELD doclens. Map-only. */
   private def fieldedSplitSource(s: SparkSession, d: String): DataFrame = {
     val docs = Transcripts.table(s, d, "documents")
       .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
@@ -173,14 +185,13 @@ object DriverQueries {
         expr("slice(toks, 9, greatest(size(toks) - 8, 0))").as("ftoks")))
       .filter(size(col("ftoks")) > 0)
       .select(col("docId"), col("field"), size(col("ftoks")).cast("long").as("docLen"),
-        explode(col("ftoks")).as("term"))
-      .groupBy("docId", "field", "term", "docLen")
-      .agg(count(lit(1)).as("tf"))
+        explode(toksTfUdf(col("ftoks"))).as(Seq("term", "tf")))
       .select("docId", "field", "term", "tf", "docLen")
   }
 
   /** The r3b fielded source over the documents' NATURAL fields: contents =
-   * text tokens; source/lang = the column value as a one-token field. */
+   * text tokens; source/lang = the column value as a one-token field.
+   * Map-only (same in-row tf as the split source). */
   private def fieldedNaturalSource(s: SparkSession, d: String): DataFrame = {
     val docs = Transcripts.table(s, d, "documents")
       .select(concat(lit("doc-"), col("doc_id").cast("string"), lit("#0")).as("docId"),
@@ -188,9 +199,7 @@ object DriverQueries {
     val contents = docs
       .select(col("docId"), lit("contents").as("field"),
         size(split(col("text"), " ")).cast("long").as("docLen"),
-        explode(split(col("text"), " ")).as("term"))
-      .groupBy("docId", "field", "term", "docLen")
-      .agg(count(lit(1)).as("tf"))
+        explode(toksTfUdf(split(col("text"), " "))).as(Seq("term", "tf")))
       .select("docId", "field", "term", "tf", "docLen")
     val meta = docs
       .select(col("docId"), lit("source").as("field"), col("source").as("term"),

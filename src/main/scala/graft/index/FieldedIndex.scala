@@ -65,12 +65,24 @@ object FieldedIndex {
     val spark = fielded.sparkSession
     val parts = if (shards > 0) shards
                 else math.max(1, spark.sessionState.conf.numShufflePartitions)
-    if (!IndexBuild.stageDone(spark, s"$dir/postings"))
-      fielded
+    if (!IndexBuild.stageDone(spark, s"$dir/postings")) {
+      // repartitionByRange SAMPLES its child before shuffling it — without
+      // a persist, an expensive source pipeline (tokenize+explode) executes
+      // twice, once for the range-boundary sketch and once for the real
+      // shuffle. DISK_ONLY pins the computed source locally (serialized
+      // columnar batches, no heap pressure) so both passes are re-reads;
+      // at cluster scale that trades one full recompute + its CPU for one
+      // local-disk write (guide §5 caching rule: reused AND expensive).
+      val src = fielded
         .select("docId", "field", "term", "tf", "docLen")
-        .repartitionByRange(parts, col("term"), col("field"), col("docId"))
-        .sortWithinPartitions("term", "field", "docId")
-        .write.mode("overwrite").parquet(s"$dir/postings")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      try
+        src
+          .repartitionByRange(parts, col("term"), col("field"), col("docId"))
+          .sortWithinPartitions("term", "field", "docId")
+          .write.mode("overwrite").parquet(s"$dir/postings")
+      finally src.unpersist()
+    }
     // dict/stats derive from the just-written postings, NOT the source
     // lineage: the source is typically a full tokenize+explode pipeline
     // whose re-evaluation would cost a corpus pass each — the read-back is
