@@ -29,6 +29,26 @@ object BenchProbe2 {
     val centroids = graft.pipeline.Similarity.trainCentroids(
       spark.read.parquet(s"$sfDir/embeddings.parquet"), cells = 16, dim = 64)
 
+    // round-5 form: per-centroid literal arrays (the pre-typedLit shape)
+    def oldIvfCellCol(vec: org.apache.spark.sql.Column,
+                      cts: Array[Array[Double]]): org.apache.spark.sql.Column = {
+      val norm = greatest(graft.pipeline.Similarity.normCol(vec), lit(1e-12))
+      val entries = cts.zipWithIndex.map { case (ct, idx) =>
+        val row = array(ct.map(lit): _*)
+        val dot = aggregate(
+          zip_with(vec, row, (x, y) => coalesce(x.cast("double") * y, lit(0.0d))),
+          lit(0.0d), (acc, v) => acc + v)
+        val cn2 = ct.map(x => x * x).sum
+        struct((lit(-2.0d) * (dot / norm) + lit(cn2)).as("dist"), lit(idx).as("idx"))
+      }
+      array_min(array(entries: _*)).getField("idx")
+    }
+    (1 to 3).foreach { i =>
+      time(s"ivfCellCol OLD literal form #$i") {
+        emb.withColumn("cell", oldIvfCellCol(col("v"), centroids))
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // column-math form (current)
     (1 to 3).foreach { i =>
       time(s"ivfCellCol column math #$i") {
@@ -36,6 +56,11 @@ object BenchProbe2 {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // parity: current vs old assignments
+    val diffOld = emb.withColumn("c1", graft.pipeline.Similarity.ivfCellCol(col("v"), centroids))
+      .withColumn("c2", oldIvfCellCol(col("v"), centroids))
+      .filter(col("c1") =!= col("c2")).count()
+    println(s"[probe2] typedlit-vs-old diff rows: $diffOld")
     // JVM kernel with identical FP order
     val cellUdf = udf((v: Seq[Float]) => graft.pipeline.Similarity.ivfCell(v, centroids))
     (1 to 3).foreach { i =>

@@ -45,13 +45,24 @@ object Tokenize {
   }
 
   /** docs(docId, docLen) — includes empty documents (docLen 0), which never
-   * appear in termDocs. One map pass over turns. */
+   * appear in termDocs. One map pass over turns. Round 6: for the NoStem
+   * tag the doc length comes from the zero-alloc [[TokenCounter]] counter
+   * (the same `countTokens ≡ analyze(_, NoStem).size` equivalence the
+   * index build's docs stage relies on) instead of building a tf HashMap
+   * per document just to sum its values. */
   def docs(turns: Dataset[Turn], tag: Analyzer.Tag = Analyzer.Tag.NoStem): DataFrame = {
-    val tfm = tfMapUdf(tag)
+    val dlCol =
+      if (tag == Analyzer.Tag.NoStem) {
+        val cnt = udf((text: String) => Analyzer.countTokens(text).toLong)
+        cnt(col("text"))
+      } else {
+        val tfm = tfMapUdf(tag)
+        aggregate(map_values(tfm(col("text"))), lit(0L), (acc, x) => acc + x)
+      }
     turns
       .select(
         concat(col("conv_id"), lit("#"), col("turn_idx").cast("string")).as("docId"),
-        aggregate(map_values(tfm(col("text"))), lit(0L), (acc, x) => acc + x).as("docLen"))
+        dlCol.as("docLen"))
   }
 
   /** Corpus statistics N (docCount incl. empty docs) and C (sumTotalTermFreq)

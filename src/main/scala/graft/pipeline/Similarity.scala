@@ -78,23 +78,20 @@ object Similarity {
    * plane contributes nothing for the missing dims (`coalesce` to 0,
    * matching the loop's min-length bound). Plane bits are disjoint, so
    * the bitwise OR is a plain sum. */
-  def lshBucketCol(vec: Column, planes: Int, dim: Int, seed: Long): Column = {
-    // round 6: the plane matrix rides as ONE typed literal instead of
-    // planes×dim individual `lit` nodes — the per-row math (and its FP
-    // order: per-plane left-to-right dot, disjoint bit contributions summed
-    // in plane order) is unchanged and stays bit-identical to the scalar
-    // mirror (pinned in SimilaritySpec); only the expression-tree size
-    // (512+ literal nodes → 1) and with it per-query planning time shrinks
-    val mat = typedLit(Array.tabulate(planes, dim)((p, d) => planeComponent(p, d, seed))
-      .map(_.toSeq).toSeq)
-    val bits = transform(mat, (row, p) => {
+  def lshBucketCol(vec: Column, planes: Int, dim: Int, seed: Long): Column =
+    // round 6 note: a single-typedLit matrix + index-aware transform was
+    // tried (smaller expression tree) and REVERTED on sf10 evidence — the
+    // nested-lambda form evaluated ~2× slower per row than these per-plane
+    // expressions, whose literal arrays constant-fold once at optimization
+    // time (BenchProbe2 at 500k vectors: 4.4–5.7 s vs 9.2–11.9 s for the
+    // equivalent cell assignment). Literal-heavy but row-cheap wins here.
+    (0 until planes).map { p =>
+      val row = array((0 until dim).map(d => lit(planeComponent(p, d, seed))): _*)
       val dot = aggregate(
         zip_with(vec, row, (x, y) => coalesce(x.cast("double") * y, lit(0.0d))),
         lit(0.0d), (acc, v) => acc + v)
-      when(dot > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, v) => acc + v)
-  }
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** All buckets within hamming distance ≤ probeBits of b over `planes` bits. */
   def probeBuckets(b: Long, planes: Int, probeBits: Int): Seq[Long] = {
@@ -271,22 +268,19 @@ object Similarity {
    */
   def ivfCellCol(vec: Column, centroids: Array[Array[Double]]): Column = {
     val norm = greatest(normCol(vec), lit(1e-12))
-    // round 6: centroid matrix + driver-folded |c|² ride as TWO typed
-    // literals instead of cells×dim individual `lit` nodes (16×64 = 1024
-    // literal expressions per query plan); per-row FP order is unchanged —
-    // left-to-right raw-float dot, one divide by the guarded norm, |c|²
-    // still folded on the driver in the same order — so cell assignments
-    // stay bit-identical to [[ivfCell]] (pinned in SimilaritySpec)
-    val cts = typedLit(centroids.map(_.toSeq).toSeq)
-    val cn2s = typedLit(centroids.map(ct => ct.map(x => x * x).sum).toSeq)
-    val entries = transform(cts, (ct, idx) => {
+    // round 6 note: see lshBucketCol — the typedLit + transform rewrite was
+    // measured 2× slower per row at sf10 and reverted; these per-centroid
+    // literal arrays constant-fold once and the per-row cost is the bare
+    // dot-product fold
+    val entries = centroids.zipWithIndex.map { case (ct, idx) =>
+      val row = array(ct.map(lit): _*)
       val dot = aggregate(
-        zip_with(vec, ct, (x, y) => coalesce(x.cast("double") * y, lit(0.0d))),
+        zip_with(vec, row, (x, y) => coalesce(x.cast("double") * y, lit(0.0d))),
         lit(0.0d), (acc, v) => acc + v)
-      struct((lit(-2.0d) * (dot / norm) + element_at(cn2s, idx + 1)).as("dist"),
-        idx.as("idx"))
-    })
-    array_min(entries).getField("idx")
+      val cn2 = ct.map(x => x * x).sum
+      struct((lit(-2.0d) * (dot / norm) + lit(cn2)).as("dist"), lit(idx).as("idx"))
+    }
+    array_min(array(entries: _*)).getField("idx")
   }
 
   /** The `nprobe` nearest cells to a raw query vector, nearest first
